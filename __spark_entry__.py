@@ -1,38 +1,925 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from
+SURVEY.md §2 through the engine package
+(cookieblock_consent_classifier_spark); ``oracle_sql()`` holds the
+DuckDB-equivalent ANSI SQL. Column names and float rounding are kept
+identical on both sides (the driver hashes values after sorting
+columns by name).
+
+Cross-engine determinism conventions used throughout:
+- event-time → epoch microseconds: Spark ``unix_micros(cast ts)`` ==
+  DuckDB ``epoch_us(ts)`` (session timezone pinned to UTC).
+- portable hashing: md5 hex (identical in both engines); hex→int64 via
+  Spark ``conv(h,16,10)`` == DuckDB ``CAST('0x'||h AS BIGINT)`` on
+  ≤15 hex chars.
+- floats that pass through ANY reordering-sensitive arithmetic are
+  rounded (4-6 dp) on BOTH sides; raw stored values stay unrounded.
+- money sums go through DECIMAL(18,2/4) so they are exact and
+  order-insensitive.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from cookieblock_consent_classifier_spark.functions import native, text as TX, vectorized as V
+from cookieblock_consent_classifier_spark.operators import asof, dedup, similarity, temporal
+from cookieblock_consent_classifier_spark.sources.readers import union_latest_wins
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _us(col) -> F.Column:  # epoch microseconds, engine-portable
+    return F.unix_micros(F.col(col).cast("timestamp")) if isinstance(col, str) else F.unix_micros(col.cast("timestamp"))
+
+
+# =====================================================================
+# Temporal core (SURVEY §2.4 #8, §2.5, §2.6 as-of, §2.9 sessionize)
+# =====================================================================
+
+@_q(
+    "update_count",
+    """
+    SELECT user_id,
+           count(*)::BIGINT AS n_updates,
+           min(epoch_us(ts)) AS first_us,
+           max(epoch_us(ts)) AS last_us
+    FROM events GROUP BY user_id
+    """,
+)
+def q_update_count(spark, sf_dir):
+    """feature_update_count (processor.py:765-770) generalized with
+    first/last event time."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_updates"),
+        F.min(_us("ts")).alias("first_us"),
+        F.max(_us("ts")).alias("last_us"),
+    )
+
+
+@_q(
+    "flag_changed",
+    """
+    SELECT user_id,
+           CASE WHEN count(DISTINCT event_type) > 1 THEN 1.0 ELSE 0.0 END AS type_changed,
+           CASE WHEN count(DISTINCT props) > 1 THEN 1.0 ELSE 0.0 END AS props_changed
+    FROM events GROUP BY user_id
+    """,
+)
+def q_flag_changed(spark, sf_dir):
+    """check_flag_changed family (utils.py:59-78; processor.py:772-802):
+    any-consecutive-differs ⇔ >1 distinct in sequence."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.coalesce(temporal.flag_changed("event_type", "user_id", ["ts"]), F.lit(0.0)).alias("type_changed"),
+        F.coalesce(temporal.flag_changed("props", "user_id", ["ts"]), F.lit(0.0)).alias("props_changed"),
+    )
+
+
+@_q(
+    "time_diff_stats",
+    """
+    WITH d AS (
+      SELECT user_id,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 1e6 AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           round(coalesce(avg(gap_s), -1.0), 4) AS gap_mean,
+           round(coalesce(stddev_samp(gap_s), -1.0), 4) AS gap_stddev,
+           count(gap_s)::BIGINT AS n_diffs
+    FROM d GROUP BY user_id
+    """,
+)
+def q_time_diff_stats(spark, sf_dir):
+    """feature_time_diff (processor.py:1476-1483) + mean/stddev agg
+    with −1 sentinels (processor.py:835,841)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (_us("ts") - F.lag(_us("ts")).over(w)) / F.lit(1e6)
+    return (
+        ev.withColumn("gap_s", gap)
+        .groupBy("user_id")
+        .agg(
+            F.round(F.coalesce(F.avg("gap_s"), F.lit(-1.0)), 4).alias("gap_mean"),
+            F.round(F.coalesce(F.stddev_samp("gap_s"), F.lit(-1.0)), 4).alias("gap_stddev"),
+            F.count("gap_s").alias("n_diffs"),
+        )
+    )
+
+
+@_q(
+    "slot_pivot",
+    """
+    WITH r AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS slot
+      FROM events
+    )
+    SELECT user_id,
+           max(CASE WHEN slot = 0 THEN event_type END) AS slot0_event_type,
+           max(CASE WHEN slot = 0 THEN value END) AS slot0_value,
+           max(CASE WHEN slot = 1 THEN event_type END) AS slot1_event_type,
+           max(CASE WHEN slot = 1 THEN value END) AS slot1_value,
+           max(CASE WHEN slot = 2 THEN event_type END) AS slot2_event_type,
+           max(CASE WHEN slot = 2 THEN value END) AS slot2_value
+    FROM r WHERE slot < 3 GROUP BY user_id
+    """,
+)
+def q_slot_pivot(spark, sf_dir):
+    """fixed num_updates slot blocks (processor.py:425-428)."""
+    ev = _t(spark, sf_dir, "events")
+    return temporal.slot_pivot(ev, "user_id", ["ts", "event_id"], ["event_type", "value"], 3)
+
+
+@_q(
+    "sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1e6 > 1800.0
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM g
+    )
+    SELECT user_id,
+           (max(session_id) + 1)::BIGINT AS n_sessions,
+           max(cnt)::BIGINT AS max_session_events
+    FROM (SELECT user_id, session_id, count(*) AS cnt FROM s GROUP BY user_id, session_id)
+    GROUP BY user_id
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """gap-based sessionization (SURVEY §2.9): 30-min gap."""
+    ev = _t(spark, sf_dir, "events")
+    s = temporal.sessionize(ev, "user_id", "ts", 1800, order_tiebreak=["event_id"])
+    per_session = s.groupBy("user_id", "session_id").count()
+    return per_session.groupBy("user_id").agg(
+        (F.max("session_id") + 1).alias("n_sessions"),
+        F.max("count").alias("max_session_events"),
+    )
+
+
+@_q(
+    "asof_join_orders",
+    """
+    SELECT e.event_id,
+           arg_max(o.o_orderkey, epoch(o.o_orderdate)::BIGINT * 10000000 + o.o_orderkey) AS orderkey_asof,
+           arg_max(o.o_totalprice, epoch(o.o_orderdate)::BIGINT * 10000000 + o.o_orderkey) AS totalprice_asof
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    GROUP BY e.event_id
+    """,
+)
+def q_asof_join_orders(spark, sf_dir):
+    """Point-in-time as-of join (north rule; SURVEY §2.6): latest
+    order state at each event, zero leakage, deterministic tie-break
+    by orderkey."""
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
+    out = asof.asof_join(
+        ev, orders, on="user_id", fact_ts="ts", dim_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"], dim_order=["o_orderkey"],
+    )
+    return out.select(
+        "event_id",
+        F.col("o_orderkey_asof").alias("orderkey_asof"),
+        F.col("o_totalprice_asof").alias("totalprice_asof"),
+    )
+
+
+@_q(
+    "backfill",
+    """
+    SELECT event_id,
+           last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS value_filled
+    FROM events
+    """,
+)
+def q_backfill(spark, sf_dir):
+    """backfill = last(col, ignorenulls) over unbounded-preceding
+    (north rule; SURVEY §2.6 generalization)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    )
+    filled = temporal.backfill(ev, "user_id", ["ts", "event_id"], ["v"])
+    return filled.select("event_id", F.col("v_filled").alias("value_filled"))
+
+
+@_q(
+    "phash_delta",
+    """
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             CAST('0x' || substr(md5('ph:' || event_id::VARCHAR), 1, 15) AS BIGINT) AS phash
+      FROM events
+    )
+    SELECT event_id,
+           bit_count(xor(phash, lag(phash) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::INT AS phash_delta
+    FROM p
+    """,
+)
+def q_phash_delta(spark, sf_dir):
+    """per-entity consecutive phash hamming delta (input_hint image
+    feature; functions/image.py hamming64) over a deterministic
+    md5-derived phash so DuckDB can oracle it."""
+    from cookieblock_consent_classifier_spark.functions.image import hamming64
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "phash",
+        TX.hex_to_long(F.substring(F.md5(F.concat(F.lit("ph:"), F.col("event_id").cast("string"))), 1, 15)),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("phash").over(w)
+    return ev.select(
+        "event_id",
+        F.when(prev.isNotNull(), hamming64(F.col("phash"), prev)).cast("int").alias("phash_delta"),
+    )
+
+
+# =====================================================================
+# Row-wise native features (SURVEY §2.3)
+# =====================================================================
+
+@_q(
+    "content_flags",
+    r"""
+    SELECT doc_id,
+           CASE WHEN regexp_matches(lower(text), '\b(true|false|yes|no|0|1|on|off)\b') THEN 1.0 ELSE -1.0 END AS f_bool,
+           CASE WHEN regexp_matches(text, '16[0-9]{8}([0-9]{3})?') THEN 1.0 ELSE -1.0 END AS f_ts,
+           CASE WHEN regexp_matches(text, '[0-9]{1,4}[/.-][0-9]{1,2}[/.-][0-9]{1,4}')
+                     OR (regexp_matches(text, '(?i)(mon|tue|wed|thu|fri|sat|sun)')
+                         AND regexp_matches(text, '(?i)(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)'))
+                THEN 1.0 ELSE -1.0 END AS f_date,
+           CASE WHEN regexp_matches(text, '(https?://.*\.|www[2-9]?\..*\.)') THEN 1.0 ELSE -1.0 END AS f_url,
+           CASE WHEN regexp_matches(text, '^[0-9a-fA-F]+$') AND NOT regexp_matches(text, '^[0-9]+$')
+                THEN 1.0 ELSE -1.0 END AS f_hex,
+           CASE WHEN trim(text) = '' THEN 1.0 ELSE -1.0 END AS f_empty,
+           strlen(text)::BIGINT AS byte_len,
+           len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+    FROM documents
+    """,
+)
+def q_content_flags(spark, sf_dir):
+    """regex detector features #24-28 + content length + token count
+    (processor.py:1386-1470, 1052-1059)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        native.boolean_content("text").alias("f_bool"),
+        native.timestamp_content("text").alias("f_ts"),
+        native.date_content("text").alias("f_date"),
+        native.url_content("text").alias("f_url"),
+        native.hex_content("text").alias("f_hex"),
+        native.empty_content("text").alias("f_empty"),
+        F.octet_length("text").cast("long").alias("byte_len"),
+        TX.token_count("text").alias("n_tokens"),
+    )
+
+
+@_q(
+    "expiry_buckets",
+    """
+    SELECT event_id,
+           CASE WHEN value * 10000 <= 3600.0 THEN 1.0 ELSE 0.0 END AS b0,
+           CASE WHEN value * 10000 >= 3600.0 AND value * 10000 <= 43200.0 THEN 1.0 ELSE 0.0 END AS b1,
+           CASE WHEN value * 10000 >= 43200.0 AND value * 10000 <= 86400.0 THEN 1.0 ELSE 0.0 END AS b2,
+           CASE WHEN value * 10000 >= 86400.0 AND value * 10000 <= 604800.0 THEN 1.0 ELSE 0.0 END AS b3,
+           CASE WHEN value * 10000 >= 604800.0 AND value * 10000 <= 2592000.0 THEN 1.0 ELSE 0.0 END AS b4,
+           CASE WHEN value * 10000 >= 2592000.0 AND value * 10000 <= 15552000.0 THEN 1.0 ELSE 0.0 END AS b5,
+           CASE WHEN value * 10000 >= 15552000.0 AND value * 10000 <= 46656000.0 THEN 1.0 ELSE 0.0 END AS b6,
+           CASE WHEN value * 10000 >= 46656000.0 THEN 1.0 ELSE 0.0 END AS b7
+    FROM events
+    """,
+)
+def q_expiry_buckets(spark, sf_dir):
+    """feature_expiry_extra overlapping buckets (processor.py:
+    1029-1050) over a pseudo-expiry derived from events.value."""
+    ev = _t(spark, sf_dir, "events").withColumn("exp_s", F.col("value") * 10000)
+    cols = native.expiry_buckets("exp_s")
+    return ev.select(
+        "event_id", *[F.coalesce(c, F.lit(0.0)).alias(f"b{i}") for i, c in enumerate(cols)]
+    )
+
+
+@_q(
+    "onehot_event_type",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'click' THEN 1.0 ELSE -1.0 END AS oh_click,
+           CASE WHEN event_type = 'view' THEN 1.0 ELSE -1.0 END AS oh_view,
+           CASE WHEN event_type = 'purchase' THEN 1.0 ELSE -1.0 END AS oh_purchase
+    FROM events
+    """,
+)
+def q_onehot_event_type(spark, sf_dir):
+    """feature_same_site-style ±1 one-hot (processor.py:1007-1020)."""
+    ev = _t(spark, sf_dir, "events")
+    cols = native.one_hot("event_type", ["click", "view", "purchase"])
+    names = ["oh_click", "oh_view", "oh_purchase"]
+    return ev.select("event_id", *[c.alias(n) for c, n in zip(cols, names)])
+
+
+@_q(
+    "uuid_onehot",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             substr(md5(text), 1, 8) || '-' || substr(md5(text), 9, 4) || '-' ||
+             substr(md5(text), 13, 4) || '-' || substr(md5(text), 17, 4) || '-' ||
+             substr(md5(text), 21, 12) AS fake_uuid
+      FROM documents
+    ), x AS (
+      SELECT doc_id,
+             regexp_extract(fake_uuid,
+               '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-([0-9a-fA-F])[0-9a-fA-F]{3}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+               1) AS ver
+      FROM u
+    )
+    SELECT doc_id,
+           CASE WHEN ver = '1' THEN 1.0 ELSE -1.0 END AS uuid_v1,
+           CASE WHEN ver = '2' THEN 1.0 ELSE -1.0 END AS uuid_v2,
+           CASE WHEN ver = '3' THEN 1.0 ELSE -1.0 END AS uuid_v3,
+           CASE WHEN ver = '4' THEN 1.0 ELSE -1.0 END AS uuid_v4,
+           CASE WHEN ver = '5' THEN 1.0 ELSE -1.0 END AS uuid_v5,
+           CASE WHEN ver <> '' AND ver NOT IN ('1','2','3','4','5') THEN 1.0 ELSE -1.0 END AS uuid_other
+    FROM x
+    """,
+)
+def q_uuid_onehot(spark, sf_dir):
+    """feature_canonical_uuid version one-hot (processor.py:1430-1458)
+    over md5-derived uuid-shaped strings (deterministic both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5("text")
+    fake_uuid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8), F.substring(h, 9, 4), F.substring(h, 13, 4),
+        F.substring(h, 17, 4), F.substring(h, 21, 12),
+    )
+    u = docs.select("doc_id", fake_uuid.alias("fake_uuid"))
+    cols = native.uuid_version_onehot("fake_uuid")
+    names = ["uuid_v1", "uuid_v2", "uuid_v3", "uuid_v4", "uuid_v5", "uuid_other"]
+    return u.select("doc_id", *[c.alias(n) for c, n in zip(cols, names)])
+
+
+@_q(
+    "hash_sample",
+    """
+    SELECT event_id FROM events
+    WHERE substr(md5(event_id::VARCHAR), 1, 1) IN ('0','1','2','3')
+    """,
+)
+def q_hash_sample(spark, sf_dir):
+    """deterministic hash sampling replacing the reference's
+    random.random() CMP skip (processor.py:481-483; SURVEY §2.2) —
+    resumable runs must sample identically."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).isin("0", "1", "2", "3")
+    ).select("event_id")
+
+
+# =====================================================================
+# Aggregation features (SURVEY §2.4)
+# =====================================================================
+
+@_q(
+    "levenshtein_stats",
+    """
+    WITH d AS (
+      SELECT user_id,
+             levenshtein(props, lag(props) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS lev
+      FROM events
+    )
+    SELECT user_id,
+           round(coalesce(avg(lev), -1.0), 4) AS lev_mean,
+           round(coalesce(stddev_samp(lev), -1.0), 4) AS lev_stddev
+    FROM d GROUP BY user_id
+    """,
+)
+def q_levenshtein_stats(spark, sf_dir):
+    """feature_levenshtein_mean_and_stddev (processor.py:844-873):
+    native F.levenshtein over lag pairs → avg/stddev_samp with −1
+    sentinels."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lev = F.levenshtein(F.col("props"), F.lag("props").over(w))
+    return (
+        ev.withColumn("lev", lev)
+        .groupBy("user_id")
+        .agg(
+            F.round(F.coalesce(F.avg("lev"), F.lit(-1.0)), 4).alias("lev_mean"),
+            F.round(F.coalesce(F.stddev_samp("lev"), F.lit(-1.0)), 4).alias("lev_stddev"),
+        )
+    )
+
+
+@_q(
+    "content_length_stats",
+    """
+    SELECT source,
+           round(avg(strlen(text)), 4) AS len_mean,
+           round(coalesce(stddev_samp(strlen(text)), -1.0), 4) AS len_stddev,
+           count(*)::BIGINT AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def q_content_length_stats(spark, sf_dir):
+    """feature_content_length_mean_and_stddev (processor.py:876-896)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.round(F.avg(F.octet_length("text")), 4).alias("len_mean"),
+        F.round(F.coalesce(F.stddev_samp(F.octet_length("text")), F.lit(-1.0)), 4).alias("len_stddev"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@_q(
+    "label_weights",
+    """
+    SELECT label,
+           count(*)::BIGINT AS n,
+           round((SELECT count(*) FROM embeddings)::DOUBLE / count(*), 6) AS weight
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_label_weights(spark, sf_dir):
+    """inverse-class-frequency weights n_total/n_class
+    (retrieve_label_weights, processor.py:263-273)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    total = emb.count()
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.lit(float(total)) / F.count("*"), 6).alias("weight"),
+    )
+
+
+# =====================================================================
+# Top-k / joins / set ops (SURVEY §2.6, §2.7)
+# =====================================================================
+
+@_q(
+    "top_tokens",
+    r"""
+    WITH t AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ), c AS (
+      SELECT token, count(*)::BIGINT AS cnt FROM t GROUP BY token
+    )
+    SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+    FROM c ORDER BY rank LIMIT 20
+    """,
+)
+def q_top_tokens(spark, sf_dir):
+    """top-k rank resource construction (SURVEY §2.7;
+    extract_names_and_domains.py:18-36): groupBy-count-orderBy-limit
+    with deterministic rank."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.filter(F.trim("text") != "").select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    )
+    counted = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return counted.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+
+
+@_q(
+    "semi_join_customers",
+    """
+    SELECT c.c_nationkey AS nationkey, count(*)::BIGINT AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_semi_join_customers(spark, sf_dir):
+    """left-semi join indicator (feature_iab_vendor pattern,
+    processor.py:735-745): customers with ≥1 order per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@_q(
+    "topk_rank_lookup",
+    """
+    WITH ranks AS (
+      SELECT p_type, row_number() OVER (ORDER BY count(*) DESC, p_type) AS rank
+      FROM part GROUP BY p_type
+      ORDER BY rank LIMIT 10
+    )
+    SELECT r.rank AS type_rank, count(*)::BIGINT AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN ranks r ON r.p_type = p.p_type
+    GROUP BY r.rank
+    """,
+)
+def q_topk_rank_lookup(spark, sf_dir):
+    """top-k resource rank lookup as broadcast hash join
+    (feature_top_names pattern, processor.py:688-698): top-10 part
+    types by frequency, rank attached to lineitems."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy(F.desc("cnt"), F.asc("p_type"))
+    ranks = (
+        part.groupBy("p_type").agg(F.count("*").alias("cnt"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("p_type", "rank")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(ranks), "p_type")
+        .groupBy(F.col("rank").alias("type_rank"))
+        .agg(F.count("*").alias("n_lineitems"))
+    )
+
+
+@_q(
+    "union_latest_wins",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id < 100 THEN 'OVERRIDE' ELSE text END AS text
+    FROM documents
+    """,
+)
+def q_union_latest_wins(spark, sf_dir):
+    """multi-input union with last-writer-wins key dedupe
+    (prepare_training_data.py:79 dict-merge semantics)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    override = docs.filter(F.col("doc_id") < 100).withColumn("text", F.lit("OVERRIDE"))
+    return union_latest_wins([docs, override], ["doc_id"])
+
+
+@_q(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)::DOUBLE AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark, sf_dir):
+    """aggregation anchor (classifier-side dataflow §2.8 analogue):
+    money sums via DECIMAL for order-insensitive exactness."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-01 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.sum(dec).cast("double").alias("sum_base_price"),
+            F.sum(dec * disc).cast("double").alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "cv_folds",
+    """
+    WITH f AS (
+      SELECT label,
+             ntile(5) OVER (PARTITION BY label ORDER BY md5(vec_id::VARCHAR), vec_id) AS fold
+      FROM embeddings
+    )
+    SELECT label, fold, count(*)::BIGINT AS n FROM f GROUP BY label, fold
+    """,
+)
+def q_cv_folds(spark, sf_dir):
+    """deterministic 5-fold stratified CV split (train_xgb.py:334-432
+    analogue; SURVEY §2.8) — hash-ordered ntile instead of rand()."""
+    emb = _t(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    return (
+        emb.withColumn("fold", F.ntile(5).over(w))
+        .groupBy("label", "fold")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# =====================================================================
+# Dedup / fingerprint / similarity (training-data pipeline ops)
+# =====================================================================
+
+_NORM_SQL = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+@_q(
+    "dedup_exact",
+    f"""
+    SELECT md5({_NORM_SQL.format(c='text')}) AS dup_key,
+           count(*)::BIGINT AS cluster_size,
+           min(doc_id) AS keep_id
+    FROM documents GROUP BY dup_key
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """exact dedup clusters on normalized-content hash."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(TX.fingerprint("text").alias("dup_key"), "doc_id")
+    return keyed.groupBy("dup_key").agg(
+        F.count("*").alias("cluster_size"), F.min("doc_id").alias("keep_id")
+    )
+
+
+@_q(
+    "doc_fingerprint",
+    f"SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fp FROM documents",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """normalized-content document fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+def _minhash_sql(k: int) -> str:
+    from cookieblock_consent_classifier_spark.operators.dedup import lane_salt
+
+    lanes = ",\n".join(
+        f"list_min(list_transform(hashes, h -> xor(h, {lane_salt(i)}::BIGINT))) AS minhash_{i}"
+        for i in range(k)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex({_NORM_SQL.format(c='text')}, '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      FROM toks
+    ), h AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hashes
+      FROM sh
+    )
+    SELECT doc_id, {lanes} FROM h
+    """
+
+
+@_q("minhash_signatures", _minhash_sql(4))
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (4 lanes, word-3-gram shingles) — the
+    near-dup scale path."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=4, shingle_n=3)
+
+
+@_q(
+    "embedding_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             round(list_dot_product(q.qv, c.cv) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 4) AS cos_sim
+      FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_embedding_topk(spark, sf_dir):
+    """brute-force cosine top-k similarity search (exact baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+# =====================================================================
+# Text analysis (training-data pipeline ops)
+# =====================================================================
+
+@_q(
+    "text_quality",
+    r"""
+    WITH s AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+             len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+                       t -> list_contains(['the','a','and','of','to','in','is','on','for'], lower(t)))) END AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           n_tok::BIGINT AS token_count,
+           round(CASE WHEN len(text) > 0 THEN n_punct::DOUBLE / len(text) END, 6) AS punct_ratio,
+           round(CASE WHEN n_tok > 0 THEN n_stop::DOUBLE / n_tok END, 6) AS stopword_ratio
+    FROM s
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    """text quality scoring components (token count, punct ratio,
+    stopword ratio)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("token_count"),
+        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
+    )
+
+
+@_q(
+    "lang_id",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], lower(x)))) AS c_de,
+             len(list_filter(toks, x -> list_contains(['the','and','of','to','a'], lower(x)))) AS c_en,
+             len(list_filter(toks, x -> list_contains(['el','los','que','y','las'], lower(x)))) AS c_es,
+             len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], lower(x)))) AS c_fr
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                WHEN c_es >= c_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM c
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    """language-ID stopword heuristic (argmax, alphabetical
+    tie-break)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id("text").alias("lang_pred"))
+
+
+# =====================================================================
+# Non-SQL-expressible ops: rows-only checks (driver records weaker
+# verdict; semantics unit-tested in tests/ instead)
+# =====================================================================
+
+@_q("entropy_zlib")  # pandas-UDF kernels: no SQL twin
+def q_entropy_zlib(spark, sf_dir):
+    """feature_shannon_entropy + feature_compressed_content
+    (processor.py:1061-1098) — Arrow-vectorized pandas UDFs."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(V.shannon_entropy("text"), 6).alias("entropy"),
+        V.zlib_compressed_len("text").alias("zlib_len"),
+    )
+
+
+@_q("gestalt_diff")  # difflib kernel: no SQL twin
+def q_gestalt_diff(spark, sf_dir):
+    """feature_gestalt_pattern_ratio over consecutive updates
+    (processor.py:1485-1494)."""
+    ev = _t(spark, sf_dir, "events")
+    lagged = temporal.with_lag(ev, "user_id", ["ts", "event_id"], ["props"])
+    return lagged.select(
+        "event_id",
+        F.round(V.gestalt_ratio("prev_props", "props"), 6).alias("gestalt_ratio"),
+    )
+
+
+@_q("simhash")  # 48-bit simhash: SQL twin possible but brittle; rows-only
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints + pigeonhole blocking keys."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", dedup.simhash48("text").alias("simhash"))
+    return sh.select("doc_id", "simhash", *dedup.simhash_blocks(F.col("simhash")))
+
+
+@_q("lsh_candidates")  # depends on minhash lanes; pair join rows-only
+def q_lsh_candidates(spark, sf_dir):
+    """MinHash-LSH banding → candidate pairs → exact n-gram Jaccard
+    verification."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=8)
+    bands = dedup.lsh_bands(sig, "doc_id", num_hashes=8, band_size=2)
+    pairs = dedup.lsh_candidate_pairs(bands, "doc_id")
+    a = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
+    return (
+        pairs.join(a, "a").join(b, "b")
+        .select("a", "b", dedup.ngram_jaccard(F.col("text_a"), F.col("text_b")).alias("jaccard"))
+    )
+
+
+@_q("ann_lsh_topk")  # ANN recall is probabilistic vs brute force; rows-only
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbors (scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=16, k=5)
+    return out.select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+@_q("image_pipeline")  # synthesized binary payloads: no SQL twin
+def q_image_pipeline(spark, sf_dir):
+    """north-rule image+caption pipeline on the synthesized table:
+    decode (stub codec) → phash == stored phash check → per-entity
+    phash delta + caption levenshtein delta + sessionization."""
+    from cookieblock_consent_classifier_spark.functions import image as I
+    from cookieblock_consent_classifier_spark.sources.synth import synth_image_updates
+
+    im = synth_image_updates(spark, num_entities=40, updates_per_entity=4,
+                             hot_entities=2, hot_updates=32)
+    im = I.with_phash_delta(im)
+    w = Window.partitionBy("image_id").orderBy("ts")
+    im = im.withColumn("caption_lev", F.levenshtein(F.lag("caption").over(w), F.col("caption")))
+    im = temporal.sessionize(im, "image_id", "ts", 1800)
+    return im.select(
+        "image_id",
+        F.col("update_idx"),
+        "phash_delta",
+        "caption_lev",
+        "session_id",
+        (I.phash_from_bytes("bytes") == F.col("phash")).alias("phash_ok"),
+    )
+
+
+# =====================================================================
+# driver contract
+# =====================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: composite per-entity feature extraction over
+    sf0.001 events — sessionize + as-of order state + lag diffs +
+    per-entity aggregates, one shared (entity, ts) shuffle."""
+    sf_dir = "/root/testdata/sf0.001"
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
+
+    enriched = asof.asof_join(
+        ev, orders, on="user_id", fact_ts="ts", dim_ts="o_orderdate",
+        payload=["o_orderkey"], dim_order=["o_orderkey"],
+    )
+    enriched = temporal.sessionize(enriched, "user_id", "ts", 1800, order_tiebreak=["event_id"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    enriched = enriched.withColumn("lev", F.levenshtein(F.lag("props").over(w), F.col("props")))
+    gap = (_us("ts") - F.lag(_us("ts")).over(w)) / F.lit(1e6)
+    enriched = enriched.withColumn("gap_s", gap)
+
+    return enriched.groupBy("user_id").agg(
+        F.count("*").alias("n_updates"),
+        (F.max("session_id") + 1).alias("n_sessions"),
+        F.round(F.coalesce(F.avg("gap_s"), F.lit(-1.0)), 4).alias("gap_mean"),
+        F.round(F.coalesce(F.avg("lev"), F.lit(-1.0)), 4).alias("lev_mean"),
+        F.coalesce(temporal.flag_changed("event_type", "user_id", ["ts"]), F.lit(0.0)).alias("type_changed"),
+        F.max("o_orderkey_asof").alias("last_orderkey_asof"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,126 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Metric (BASELINE.json): entity-timestamps/sec of feature rows
+materialized by the flagship feature pipeline; per-query wall times
+for the operator suite. Scaling-efficiency evidence (local[8] vs
+local[32]) is produced by scripts/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from cookieblock_consent_classifier_spark.session import get_spark
+
+# the per-round benchmark suite: flagship pipeline + the heaviest
+# operator families (temporal window, as-of, dedup, similarity, text)
+BENCH_QUERIES = [
+    "update_count",
+    "flag_changed",
+    "time_diff_stats",
+    "slot_pivot",
+    "sessionize",
+    "asof_join_orders",
+    "backfill",
+    "phash_delta",
+    "levenshtein_stats",
+    "content_flags",
+    "tpch_q1",
+    "dedup_exact",
+    "minhash_signatures",
+    "embedding_topk",
+    "text_quality",
+    "entropy_zlib",
+    "gestalt_diff",
+    "simhash",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    qs = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    total_rows = 0
+    t_all = time.perf_counter()
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total_sec = time.perf_counter() - t_all
+
+    # flagship throughput: entity-timestamp rows materialized per sec
+    # (the north-rule metric) over the composite feature pipeline
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_entity_ts = ev.count()
+    t0 = time.perf_counter()
+    # entry() is pinned to sf0.001 for the smoke check; rebuild the same
+    # flagship plan at the bench SF via the module helper
+    _flagship_at(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    flagship_sec = time.perf_counter() - t0
+    throughput = n_entity_ts / flagship_sec if flagship_sec > 0 else 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "entity-timestamps/sec (flagship feature pipeline)",
+                "value": round(throughput, 1),
+                "unit": "rows/sec",
+                "queries": timings,
+                "total_sec": round(total_sec, 3),
+                "flagship_sec": round(flagship_sec, 3),
+                "input_rows": n_entity_ts,
+                "cpus": int(cpus),
+                "sf": sf,
+            }
+        )
+    )
+
+
+def _flagship_at(spark, sf_dir):
+    from pyspark.sql import Window, functions as F
+
+    from cookieblock_consent_classifier_spark.operators import asof, temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumnRenamed(
+        "o_custkey", "user_id"
+    )
+    enriched = asof.asof_join(
+        ev, orders, on="user_id", fact_ts="ts", dim_ts="o_orderdate",
+        payload=["o_orderkey"], dim_order=["o_orderkey"],
+    )
+    enriched = temporal.sessionize(enriched, "user_id", "ts", 1800, order_tiebreak=["event_id"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    enriched = enriched.withColumn("lev", F.levenshtein(F.lag("props").over(w), F.col("props")))
+    gap = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+    ) / F.lit(1e6)
+    enriched = enriched.withColumn("gap_s", gap)
+    return enriched.groupBy("user_id").agg(
+        F.count("*").alias("n_updates"),
+        (F.max("session_id") + 1).alias("n_sessions"),
+        F.round(F.coalesce(F.avg("gap_s"), F.lit(-1.0)), 4).alias("gap_mean"),
+        F.round(F.coalesce(F.avg("lev"), F.lit(-1.0)), 4).alias("lev_mean"),
+        F.coalesce(temporal.flag_changed("event_type", "user_id", ["ts"]), F.lit(0.0)).alias("type_changed"),
+        F.max("o_orderkey_asof").alias("last_orderkey_asof"),
+    )
+
+
+if __name__ == "__main__":
+    main()

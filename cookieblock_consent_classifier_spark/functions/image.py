@@ -1,0 +1,171 @@
+"""Multimodal (image) payload kernels — north-rule input_hint shape
+(image_id, bytes, w, h, fmt, caption, phash).
+
+The container has no image codec libraries, so the *codec* is a
+deterministic synthetic one (documented below) while everything
+Spark-side — binary column handling, Arrow batch shapes, pandas-UDF
+signatures, per-entity phash-delta windows, PSNR verification — is
+real and tested. If PIL becomes available the codec swaps behind the
+same two functions (`encode_image`, `decode_image`); nothing else
+changes.
+
+Synthetic codec:
+- pixels: uint8 grayscale, row-major, shape (h, w)
+- fmt='png'  → payload is the raw pixel bytes (lossless)
+- fmt='jpeg' → payload is pixels quantized to 16 levels (lossy but
+  high-PSNR on smooth content; deterministic)
+A 4-byte magic + w/h header makes decode self-checking.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+try:  # real codecs if ever available — plumbing is codec-agnostic
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except Exception:
+    HAVE_PIL = False
+
+_MAGIC = b"SGIM"
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic codec (pure numpy)
+# ---------------------------------------------------------------------------
+
+def synth_pixels(image_id: str, update_idx: int, w: int, h: int) -> np.ndarray:
+    """Deterministic smooth gradient + per-entity offset; consecutive
+    updates differ slightly (so phash deltas are nonzero but small)."""
+    seed = (hash_str(image_id) + 7919 * update_idx) % 251
+    y, x = np.mgrid[0:h, 0:w]
+    img = (x * 3 + y * 5 + seed) % 256
+    return img.astype(np.uint8)
+
+
+def hash_str(s: str) -> int:
+    """Stable non-negative 63-bit FNV-1a (NOT Python hash(), which is
+    salted per process)."""
+    acc = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        acc = ((acc ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return acc & 0x7FFFFFFFFFFFFFFF
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    h, w = pixels.shape
+    if fmt == "jpeg":
+        # step-4 quantization: MSE ≈ 4²/12 → PSNR ≈ 47 dB (≥ 40 dB
+        # lossy invariant per input_hint)
+        body = ((pixels.astype(np.uint16) + 2) // 4 * 4).clip(0, 255).astype(np.uint8)
+    elif fmt == "png":
+        body = pixels
+    else:
+        raise NotImplementedError(f"codec for fmt={fmt!r} not available in this container")
+    return _MAGIC + struct.pack("<II", w, h) + body.tobytes()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    if payload[:4] != _MAGIC:
+        raise ValueError("not a synthetic-codec payload")
+    w, h = struct.unpack("<II", payload[4:12])
+    return np.frombuffer(payload[12:], dtype=np.uint8).reshape(h, w)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def average_phash(pixels: np.ndarray, grid: int = 8) -> int:
+    """64-bit average hash: block-mean to grid×grid, bit=1 where block
+    mean > global mean. Deterministic, pure numpy."""
+    h, w = pixels.shape
+    ys = np.linspace(0, h, grid + 1).astype(int)
+    xs = np.linspace(0, w, grid + 1).astype(int)
+    blocks = np.empty((grid, grid), dtype=np.float64)
+    for i in range(grid):
+        for j in range(grid):
+            blk = pixels[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            blocks[i, j] = blk.mean()
+    bits = (blocks > blocks.mean()).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    # keep in signed-int64 non-negative range for cross-engine parity
+    return val & 0x7FFFFFFFFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# vectorized UDFs (Arrow batches; no per-row Python at the API surface)
+# ---------------------------------------------------------------------------
+
+@pandas_udf(T.LongType())
+def phash_from_bytes(payload: pd.Series) -> pd.Series:
+    """Decode + average-phash per image, vectorized over the Arrow
+    batch (the per-image numpy work is the irreducible kernel)."""
+
+    def one(b):
+        return average_phash(decode_image(bytes(b)))
+
+    return payload.map(one, na_action="ignore").astype("Int64")
+
+
+@pandas_udf(T.DoubleType())
+def decode_psnr(payload: pd.Series, ref_payload: pd.Series) -> pd.Series:
+    """PSNR between decoded payload and a reference payload (the
+    decoded-pixel invariant: PSNR ≥ 40 dB for lossy; inf for
+    lossless)."""
+    out = []
+    for b, r in zip(payload, ref_payload):
+        if b is None or r is None:
+            out.append(None)
+        else:
+            out.append(psnr(decode_image(bytes(b)), decode_image(bytes(r))))
+    return pd.Series(out, dtype="float64")
+
+
+@pandas_udf(T.StructType([
+    T.StructField("mean", T.DoubleType()),
+    T.StructField("std", T.DoubleType()),
+    T.StructField("p99", T.DoubleType()),
+]))
+def pixel_stats(payload: pd.Series) -> pd.DataFrame:
+    """Per-image decoded-pixel summary stats (feature-extraction shape
+    for downstream quality filters)."""
+    rows = []
+    for b in payload:
+        if b is None:
+            rows.append((None, None, None))
+        else:
+            px = decode_image(bytes(b)).astype(np.float64)
+            rows.append((float(px.mean()), float(px.std()), float(np.percentile(px, 99))))
+    return pd.DataFrame(rows, columns=["mean", "std", "p99"], index=payload.index)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Bit-level hamming distance between two int64 hashes — native
+    (bit_count(a XOR b)); this is the phash-delta feature."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def with_phash_delta(
+    df: DataFrame, entity_col: str = "image_id", ts_col: str = "ts", phash_col: str = "phash"
+) -> DataFrame:
+    """Per-entity consecutive phash hamming delta (the image analogue
+    of the reference's per-diff value-distance features,
+    processor.py:1496-1503)."""
+    w = Window.partitionBy(entity_col).orderBy(ts_col)
+    prev = F.lag(phash_col).over(w)
+    return df.withColumn(
+        "phash_delta",
+        F.when(prev.isNotNull(), hamming64(F.col(phash_col), prev)).cast("integer"),
+    )

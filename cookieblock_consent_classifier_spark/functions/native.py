@@ -1,0 +1,218 @@
+"""Row-wise feature expressions that compile to native Catalyst
+expressions (JVM whole-stage codegen, no Python in the hot path).
+
+Each builder returns a pyspark Column (or list of Columns for
+multi-slot features). Encoding convention follows the reference:
+true→1.0, false→−1.0, and "absent" is NULL (dropped by the sparse
+assembler — sparse zero means absent, not false; SURVEY.md §1.2).
+
+Reference parity, per function, cited to
+/root/reference/feature_extraction/processor.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+def PLUS() -> Column:
+    # lazy: Column construction needs an active session; this module is
+    # also imported inside pandas-UDF workers where none exists.
+    return F.lit(1.0)
+
+
+def MINUS() -> Column:
+    return F.lit(-1.0)
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def pm_flag(col: str | Column) -> Column:
+    """Boolean flag → ±1 (feature_http_only/secure/session,
+    processor.py:985-1005)."""
+    return F.when(_c(col), PLUS()).otherwise(MINUS())
+
+
+def pm(cond: Column) -> Column:
+    """Condition → ±1."""
+    return F.when(cond, PLUS()).otherwise(MINUS())
+
+
+def one_hot(col: str | Column, categories: list[str]) -> list[Column]:
+    """K-way one-hot with ±1 encoding; unknown category → all −1
+    (feature_same_site, processor.py:1007-1020)."""
+    c = _c(col)
+    return [F.when(c == cat, PLUS()).otherwise(MINUS()) for cat in categories]
+
+
+# Expiry bucket boundaries in seconds. NB the reference's predicates
+# OVERLAP at exact boundaries — both adjacent buckets fire when expiry
+# equals a boundary (processor.py:1036-1050: `<=` upper AND `>=` lower
+# on consecutive buckets). We preserve that exactly.
+_HOUR = 3600.0
+_DAY = 24 * _HOUR
+_MONTH = 30 * _DAY
+EXPIRY_BUCKETS: list[tuple[float, float]] = [
+    (float("-inf"), _HOUR),          # < 1 hour
+    (_HOUR, 12 * _HOUR),             # 1-12 hours
+    (12 * _HOUR, _DAY),              # 12-24 hours
+    (_DAY, 7 * _DAY),                # 1-7 days
+    (7 * _DAY, _MONTH),              # 1 week - 1 month
+    (_MONTH, 6 * _MONTH),            # 1-6 months
+    (6 * _MONTH, 18 * _MONTH),       # 6-18 months
+    (18 * _MONTH, float("inf")),     # > 18 months
+]
+
+
+def expiry_buckets(col: str | Column) -> list[Column]:
+    """8 overlapping range indicators (feature_expiry_extra,
+    processor.py:1029-1050); fired bucket → 1.0, else absent (null)."""
+    c = _c(col).cast("double")
+    out = []
+    for lo, hi in EXPIRY_BUCKETS:
+        if lo == float("-inf"):
+            cond = c <= F.lit(hi)
+        elif hi == float("inf"):
+            cond = c >= F.lit(lo)
+        else:
+            cond = (c >= F.lit(lo)) & (c <= F.lit(hi))
+        out.append(F.when(cond, PLUS()))
+    return out
+
+
+def content_length(col: str | Column) -> Column:
+    """UTF-8 byte length of the URL-decoded value
+    (feature_content_length, processor.py:1052-1059)."""
+    return F.octet_length(F.try_url_decode(_c(col))).cast("double")
+
+
+def url_encoded(col: str | Column) -> Column:
+    """value != unquote(value) → ±1 (feature_url_encoding,
+    processor.py:1101-1113)."""
+    c = _c(col)
+    return pm(F.coalesce(F.try_url_decode(c), c) != c)
+
+
+# --- regex detectors (Java regex; parity with Python `re` verified in
+# tests for these specific patterns) ---------------------------------
+
+BOOLEAN_PAT = r"\b(true|false|yes|no|0|1|on|off)\b"          # processor.py:154
+TIMESTAMP_PAT = r"16[0-9]{8}([0-9]{3})?"                      # processor.py:169
+DATE_NUM_PATS = [                                             # processor.py:157-159
+    r"[0-9]{1,4}[/.-][0-9]{1,2}[/.-][0-9]{1,4}",
+]
+DAY_PAT = r"(?i)(mon|tue|wed|thu|fri|sat|sun)"                # processor.py:162-165
+MONTH_PAT = (
+    r"(?i)(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)"
+)
+URL_PAT = r"(https?://.*\.|www[2-9]?\..*\.)"                  # processor.py:172-173
+HEX_PAT = r"^[0-9a-fA-F]+$"                                   # processor.py:1317-1326
+UUID_PAT = (                                                  # processor.py:170
+    r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-([0-9a-fA-F])[0-9a-fA-F]{3}-"
+    r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+)
+
+
+def boolean_content(col: str | Column) -> Column:
+    """feature_boolean_content (processor.py:1386-1395): word-bounded
+    true/false/yes/no/0/1/on/off anywhere in the value → ±1."""
+    return pm(F.lower(_c(col)).rlike(BOOLEAN_PAT))
+
+
+def timestamp_content(col: str | Column) -> Column:
+    """feature_timestamp_content (processor.py:1398-1409): unix-epoch
+    window 16xxxxxxxx(xxx) → ±1."""
+    return pm(_c(col).rlike(TIMESTAMP_PAT))
+
+
+def date_content(col: str | Column) -> Column:
+    """feature_date_content (processor.py:1411-1428): numeric date OR
+    (day-name AND month-name) → ±1."""
+    c = _c(col)
+    cond = c.rlike(DATE_NUM_PATS[0]) | (c.rlike(DAY_PAT) & c.rlike(MONTH_PAT))
+    return pm(cond)
+
+
+def url_content(col: str | Column) -> Column:
+    """feature_url_content (processor.py:1461-1470)."""
+    return pm(_c(col).rlike(URL_PAT))
+
+
+def hex_content(col: str | Column) -> Column:
+    """feature_hex_content (processor.py:1317-1326): all-hex AND not
+    pure-decimal → ±1 (decimal approximated by ^[0-9]+$ natively; the
+    unicode-exact isnumeric variant lives in functions/vectorized.py)."""
+    c = _c(col)
+    return pm(c.rlike(HEX_PAT) & ~c.rlike(r"^[0-9]+$"))
+
+
+def uuid_version_onehot(col: str | Column) -> list[Column]:
+    """feature_canonical_uuid (processor.py:1430-1458): 6-wide one-hot
+    over UUID version 1-5 + other; no match → all −1."""
+    c = _c(col)
+    ver = F.regexp_extract(c, UUID_PAT, 1)
+    matched = ver != ""
+    out = []
+    for v in ("1", "2", "3", "4", "5"):
+        out.append(F.when(matched & (ver == v), PLUS()).otherwise(MINUS()))
+    other = matched & ~ver.isin("1", "2", "3", "4", "5")
+    out.append(F.when(other, PLUS()).otherwise(MINUS()))
+    return out
+
+
+def empty_content(col: str | Column) -> Column:
+    """feature_empty_content (processor.py:1376-1384): empty or
+    whitespace-only (no URL-decode) → ±1."""
+    c = _c(col)
+    return pm(F.trim(c) == F.lit(""))
+
+
+def js_object_shape(col: str | Column) -> Column:
+    """feature_contains_javascript_object's fast path
+    (processor.py:1148-1162): ^\\{.*}$ on the raw value → ±1 (the
+    base64-decoded fallback lives in vectorized.py)."""
+    return pm(_c(col).rlike(r"^\{.*\}$"))
+
+
+def delimiter_counts(col: str | Column, delimiters: str = ",|#:;&_.-") -> list[Column]:
+    """Native per-delimiter occurrence counts: len(v) − len(replace(v,
+    d, '')). Basis of the experimental native splitter the reference
+    prototypes (delim_sep_check, utils.py:178-196; processor.py:
+    1509-1555); the csv.Sniffer-exact variant is in vectorized.py."""
+    c = _c(col)
+    return [
+        (F.length(c) - F.length(F.replace(c, F.lit(d)))).cast("double").alias(f"delim_{i}")
+        for i, d in enumerate(delimiters)
+    ]
+
+
+def non_root_path(col: str | Column) -> Column:
+    """feature_non_root_path (processor.py:757-763): trimmed path !=
+    '/' → 1.0 else absent."""
+    return F.when(F.trim(_c(col)) != "/", PLUS())
+
+
+def domain_period(col: str | Column) -> Column:
+    """feature_domain_period (processor.py:1562-1571): leading '.' →
+    1.0 else absent."""
+    return F.when(_c(col).startswith("."), PLUS())
+
+
+def is_third_party(domain_col: str | Column, site_col: str | Column) -> Column:
+    """feature_is_third_party (processor.py:747-755): normalized cookie
+    domain not contained in the site domain → 1.0 else absent."""
+    d = uniform_domain(domain_col)
+    s = uniform_domain(site_col)
+    return F.when(~F.contains(s, d), PLUS())
+
+
+def uniform_domain(col: str | Column) -> Column:
+    """url_to_uniform_domain (utils.py:19-30): strip scheme, leading
+    www./dot, trailing slash."""
+    c = _c(col)
+    c = F.regexp_replace(c, r"^(https?|wss?)://", "")
+    c = F.regexp_replace(c, r"^(www([2-9])?)?\.", "")
+    c = F.regexp_replace(c, r"^\.", "")
+    c = F.regexp_replace(c, r"/$", "")
+    return c

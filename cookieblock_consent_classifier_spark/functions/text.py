@@ -1,0 +1,127 @@
+"""Text-analysis feature builders for large-scale training-data
+pipelines: token counting, quality scoring, language-ID heuristic,
+document fingerprinting. All native Catalyst expressions (codegen'd,
+no Python) so they run at scan speed over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+WS_SPLIT = r"\s+"
+
+# tiny language marker sets for the n-gram/stopword heuristic; the real
+# pipeline would broadcast a larger table — the operator shape is what
+# matters (per-language hit counts → argmax).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "y", "las"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on", "for"]
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization; empty string → empty array."""
+    c = F.trim(_c(col))
+    return F.when(c == "", F.array().cast("array<string>")).otherwise(
+        F.split(c, WS_SPLIT)
+    )
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def avg_token_len(col: str | Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks))
+
+
+def stopword_ratio(col: str | Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks).cast("double"))
+
+
+def punct_ratio(col: str | Column) -> Column:
+    """Punctuation chars / total chars."""
+    c = _c(col)
+    n = F.length(c)
+    punct = n - F.length(F.regexp_replace(c, r"[!-/:-@\[-`{-~]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double"))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize very short docs,
+    high punctuation, zero stopwords (classic pretraining-corpus
+    filters)."""
+    c = _c(col)
+    len_score = F.least(F.length(c).cast("double") / F.lit(200.0), F.lit(1.0))
+    punct = F.coalesce(punct_ratio(c), F.lit(0.0))
+    sw = F.coalesce(stopword_ratio(c), F.lit(0.0))
+    return F.round(
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct * 4, F.lit(1.0)))
+        + F.lit(0.3) * F.least(sw * 5, F.lit(1.0)),
+        6,
+    )
+
+
+def lang_scores(col: str | Column) -> dict[str, Column]:
+    """Per-language stopword hit counts."""
+    toks = tokens(col)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+    return out
+
+
+def lang_id(col: str | Column) -> Column:
+    """argmax language by marker hits; 'und' when all zero. Ties break
+    by language code order (deterministic)."""
+    scores = lang_scores(col)
+    langs = sorted(scores)
+    best = None
+    best_score = None
+    for lang in langs:
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Canonical text normalization for fingerprinting: lowercase,
+    strip non-alphanumerics to spaces, collapse whitespace."""
+    c = F.lower(_c(col))
+    c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
+    return F.trim(c)
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Normalized-content fingerprint (md5 hex) — exact-dup key that is
+    robust to case/punct/whitespace noise."""
+    return F.md5(normalize_text(col))
+
+
+def hex_to_long(hex15: Column) -> Column:
+    """Parse ≤15 hex chars into a non-negative int64 (conv keeps it in
+    range). Shared by minhash / phash derivations; DuckDB oracle twin:
+    CAST('0x'||h AS BIGINT)."""
+    return F.conv(hex15, 16, 10).cast("long")

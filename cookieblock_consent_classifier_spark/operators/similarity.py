@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline; a broadcast of the (small)
+  query set against the full corpus — one pass, no shuffle until the
+  per-query top-k aggregation.
+- LSH-bucketed ANN (random hyperplanes): the 100 TB scale path — each
+  vector maps to a small bucket key; queries only score candidates in
+  their own bucket(s).
+
+All arithmetic is double-precision native expressions
+(zip_with/aggregate); no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, score every corpus
+    vector, rank per query. Ties broken by neighbor id (deterministic).
+    Self-matches excluded. Output: (query_id, neighbor_id, cos_sim,
+    rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_to).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bucket(
+    vec_col: Column, dim: int, num_planes: int = 8, seed: int = 7
+) -> Column:
+    """Random-hyperplane LSH bucket id: bit i = sign(v · h_i) with
+    deterministic pseudo-random planes derived from (seed, i, j) via a
+    sine hash — stable across runs/engines, no stored plane matrix."""
+
+    def plane_coeff(i: int, j: int) -> float:
+        x = math.sin(seed * 1_000_003 + i * 10_007 + j * 97) * 43758.5453
+        return x - math.floor(x) - 0.5
+
+    bucket = F.lit(0).cast("long")
+    for i in range(num_planes):
+        proj = F.lit(0.0)
+        for j in range(dim):
+            proj = proj + F.element_at(vec_col, j + 1).cast("double") * F.lit(
+                plane_coeff(i, j)
+            )
+        bucket = bucket.bitwiseOR(
+            F.shiftleft(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i)
+        )
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 6,
+    round_to: int = 4,
+) -> DataFrame:
+    """ANN top-k: score only bucket-mates. Recall < 1 by design; the
+    candidate join is an equi-join on the bucket key (shuffle ∝ bucket
+    sizes, never |corpus|×|queries|)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        hyperplane_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        hyperplane_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_to).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

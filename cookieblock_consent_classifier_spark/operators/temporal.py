@@ -1,0 +1,157 @@
+"""Temporal window operators: lag/lead diffs, backfill, gap
+sessionization, fixed-slot pivot.
+
+These generalize the reference's per-update-sequence machinery
+(consecutive-pair zip at processor.py:438-451,545-560; flag-change
+scan at utils.py:59-78) into explicit event-time Window specs. All of
+them share ONE logical partitioning — ``partitionBy(entity).orderBy(ts,
+tiebreak)`` — so Catalyst schedules a single shuffle + sort and every
+window function reuses it (verified in tests via .explain: one
+Exchange feeding stacked Window nodes).
+
+Scale notes (100 TB):
+- the only shuffle is hash-partition by entity; entity cardinality is
+  huge (10^12 images) so partitions balance well by default. Hot
+  entities (≥10^3 updates) are handled by operators/skew.py salting for
+  the *aggregation* family; sequence ops (lag) are inherently
+  per-entity-ordered and bounded by max-updates-per-entity, which the
+  north rule's data model keeps modest.
+- everything here is whole-stage-codegen-able native expressions — no
+  Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def entity_window(entity_col: str, order_cols: Sequence[str | Column]):
+    """The canonical per-entity event-time window spec."""
+    return Window.partitionBy(entity_col).orderBy(*order_cols)
+
+
+def ts_seconds(col: str | Column) -> Column:
+    """Event-time → epoch seconds (double, keeps sub-second precision).
+    Handles TIMESTAMP and TIMESTAMP_NTZ (NTZ is interpreted in the
+    session timezone, which the engine pins to UTC — session.py)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("double")
+
+
+def with_lag(
+    df: DataFrame,
+    entity_col: str,
+    order_cols: Sequence[str],
+    cols: Sequence[str],
+    prefix: str = "prev_",
+) -> DataFrame:
+    """Attach ``prev_<col>`` = value at the previous update of the same
+    entity (reference per-diff iteration: zip(updates, updates[1:]) at
+    processor.py:438-451). First update per entity gets nulls."""
+    w = entity_window(entity_col, list(order_cols))
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{prefix}{c}", F.lag(c).over(w))
+    return out
+
+
+def backfill(
+    df: DataFrame,
+    entity_col: str,
+    order_cols: Sequence[str],
+    cols: Sequence[str],
+    suffix: str = "_filled",
+) -> DataFrame:
+    """Forward-fill: latest non-null value at-or-before each row within
+    the entity's timeline (``last(col, ignorenulls=True)`` over an
+    unbounded-preceding frame). This is also the kernel of the as-of
+    join (operators/asof.py)."""
+    w = (
+        entity_window(entity_col, list(order_cols))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}{suffix}", F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    order_tiebreak: Sequence[str] = (),
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time
+    since the entity's previous event exceeds ``gap_seconds``
+    (strictly: delta > gap keeps same-session at exactly `gap`).
+
+    Pure Window composition — boundary flag via lag, running sum as
+    session index (0-based per entity). Generalizes the reference's
+    bounded update-sequence features to unbounded event streams
+    (SURVEY.md §2.9). Batch form; streaming/sessionize.py is the
+    Structured-Streaming twin (F.session_window).
+    """
+    order = [ts_col, *order_tiebreak]
+    w = entity_window(entity_col, order)
+    prev_ts = F.lag(ts_seconds(ts_col)).over(w)
+    gap = ts_seconds(ts_col) - prev_ts
+    new_session = F.when(prev_ts.isNull() | (gap > float(gap_seconds)), 1).otherwise(0)
+    running = Window.partitionBy(entity_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(
+        session_col, (F.sum(new_session).over(running) - F.lit(1)).cast("long")
+    )
+
+
+def slot_pivot(
+    df: DataFrame,
+    entity_col: str,
+    order_cols: Sequence[str],
+    value_cols: Sequence[str],
+    num_slots: int,
+) -> DataFrame:
+    """First-N-updates pivot: rank updates per entity, keep slots
+    0..num_slots-1, emit fixed columns ``slot{i}_{col}``.
+
+    Mirrors the reference's fixed ``num_updates`` column blocks where
+    entities with fewer updates leave zero-filled (absent) slots
+    (processor.py:425-428,448-451): missing slots here are NULL and the
+    sparse assembler drops NULLs, reproducing absent-not-false.
+
+    Implementation: row_number ≤ N filter, then groupBy(entity) with
+    conditional firsts — a single shuffle, no Spark `pivot()` second
+    pass (pivot would scan twice to infer keys; slots are static).
+    """
+    w = entity_window(entity_col, list(order_cols))
+    ranked = df.withColumn("__slot", F.row_number().over(w) - F.lit(1)).filter(
+        F.col("__slot") < num_slots
+    )
+    aggs = []
+    for i in range(num_slots):
+        for c in value_cols:
+            aggs.append(
+                F.max(F.when(F.col("__slot") == i, F.col(c))).alias(f"slot{i}_{c}")
+            )
+    return ranked.groupBy(entity_col).agg(*aggs)
+
+
+def flag_changed(col: str | Column, entity_col: str, order_cols: Sequence[str]) -> Column:
+    """Aggregate expression: 1.0 if the column's value differs between
+    any consecutive updates of the entity, else absent (null).
+
+    Reference semantics check_flag_changed (utils.py:59-78): emitted
+    only when changed (sparse 0 otherwise). "Some consecutive pair
+    differs" ⇔ "more than one distinct value in the ordered sequence",
+    so this compiles to countDistinct — one shuffle shared with the
+    other per-entity aggregates, no window needed.
+
+    Use inside groupBy(entity).agg(...).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.count_distinct(c) > 1, F.lit(1.0))

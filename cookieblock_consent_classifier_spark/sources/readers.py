@@ -1,0 +1,64 @@
+"""Readers: parquet/JSON entity-update tables + the driver testdata
+star schema.
+
+The reference loads N JSON files into one dict where later files win
+on key collision (prepare_training_data.py:64-80). Our analogue is a
+multi-path union + last-writer-wins dedupe (`union_latest_wins`) —
+distributed, no driver-side dict.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: Sequence[str] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def read_entity_updates(spark: SparkSession, paths: Sequence[str], fmt: str = "parquet") -> DataFrame:
+    """Multi-path scan; format 'parquet' | 'json' | 'iceberg' (iceberg
+    via table identifier when a catalog is configured)."""
+    if fmt == "iceberg":
+        assert len(paths) == 1
+        return spark.read.format("iceberg").load(paths[0])
+    reader = spark.read.format(fmt)
+    if fmt == "json":
+        reader = reader.option("multiLine", "true")
+    return reader.load(list(paths))
+
+
+def union_latest_wins(
+    dfs: Sequence[DataFrame], key_cols: Sequence[str], precedence_col: str = "__src_rank"
+) -> DataFrame:
+    """Union N inputs; on key collision the row from the LATEST input
+    wins (reference dict-merge semantics,
+    prepare_training_data.py:79). Each df is tagged with its position;
+    row_number over (key) ordered by tag desc keeps the winner."""
+    tagged = [df.withColumn(precedence_col, F.lit(i)) for i, df in enumerate(dfs)]
+    unioned = tagged[0]
+    for t in tagged[1:]:
+        unioned = unioned.unionByName(t)
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(precedence_col))
+    return (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", precedence_col)
+    )

@@ -1,0 +1,110 @@
+"""As-of join: point-in-time correctness + zero-leakage property
+(SURVEY.md §5; north_rule)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from cookieblock_consent_classifier_spark.operators.asof import asof_join
+
+T0 = datetime(2024, 1, 1)
+
+
+def _ts(sec: int) -> datetime:
+    return T0 + timedelta(seconds=sec)
+
+
+@pytest.fixture(scope="module")
+def fact(spark):
+    return spark.createDataFrame(
+        [("e", _ts(10), 0), ("e", _ts(20), 1), ("e", _ts(30), 2), ("x", _ts(10), 3)],
+        ["entity", "ts", "fid"],
+    )
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    # dim states at 5, 20 (== a fact ts), 25, and 99999 (future)
+    return spark.createDataFrame(
+        [("e", _ts(5), "v5"), ("e", _ts(20), "v20"), ("e", _ts(25), "v25"),
+         ("e", _ts(99999), "vFUTURE")],
+        ["entity", "ts", "state"],
+    )
+
+
+def test_asof_inclusive(spark, fact, dim):
+    out = {
+        r["fid"]: r["state_asof"]
+        for r in asof_join(fact, dim, on="entity", payload=["state"]).collect()
+    }
+    # ts=10 -> v5; ts=20 -> v20 (dim at same instant IS visible);
+    # ts=30 -> v25; entity x has no dim -> null
+    assert out == {0: "v5", 1: "v20", 2: "v25", 3: None}
+
+
+def test_asof_strict_excludes_same_instant(spark, fact, dim):
+    out = {
+        r["fid"]: r["state_asof"]
+        for r in asof_join(fact, dim, on="entity", payload=["state"], strict=True).collect()
+    }
+    assert out[1] == "v5"  # v20 at the same instant NOT visible
+
+
+def test_asof_zero_leakage_property(spark, fact, dim):
+    """No output row may carry dim state from the future — checked by
+    re-joining the attached state back to its effective_ts."""
+    out = asof_join(fact, dim, on="entity", payload=["state"])
+    joined = out.join(
+        dim.withColumnRenamed("ts", "eff_ts").withColumnRenamed("state", "state_asof"),
+        ["entity", "state_asof"],
+    )
+    leaks = joined.filter(F.col("eff_ts") > F.col("ts")).count()
+    assert leaks == 0
+    assert out.filter(F.col("state_asof") == "vFUTURE").count() == 0
+
+
+def test_asof_tie_break_among_same_ts_dims(spark):
+    fact = spark.createDataFrame([("e", _ts(10), 0)], ["entity", "ts", "fid"])
+    dim = spark.createDataFrame(
+        [("e", _ts(5), "a", 1), ("e", _ts(5), "b", 2)], ["entity", "ts", "state", "ver"]
+    )
+    out = asof_join(
+        fact, dim, on="entity", payload=["state"], dim_order=["ver"]
+    ).collect()
+    assert out[0]["state_asof"] == "b"  # greatest ver wins deterministically
+
+
+def test_asof_matches_naive_range_join_on_real_data(spark, events, orders):
+    """Oracle: naive max-by range join (quadratic but exact) on sf0.001."""
+    dim = orders.withColumnRenamed("o_custkey", "user_id")
+    fast = asof_join(
+        events, dim, on="user_id", fact_ts="ts", dim_ts="o_orderdate",
+        payload=["o_orderkey"], dim_order=["o_orderkey"],
+    ).select("event_id", "o_orderkey_asof")
+
+    naive = (
+        events.alias("f")
+        .join(dim.alias("d"), (F.col("f.user_id") == F.col("d.user_id"))
+              & (F.col("d.o_orderdate") <= F.col("f.ts")), "left")
+        .groupBy("f.event_id")
+        .agg(
+            F.max_by(
+                "d.o_orderkey",
+                F.struct(F.col("d.o_orderdate"), F.col("d.o_orderkey")),
+            ).alias("naive_key")
+        )
+    )
+    diff = (
+        fast.join(naive, "event_id")
+        .filter(
+            ~(
+                (F.col("o_orderkey_asof") == F.col("naive_key"))
+                | (F.col("o_orderkey_asof").isNull() & F.col("naive_key").isNull())
+            )
+        )
+        .count()
+    )
+    assert diff == 0

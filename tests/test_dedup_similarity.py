@@ -1,0 +1,106 @@
+"""Dedup + similarity operator semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cookieblock_consent_classifier_spark.operators import dedup, similarity
+
+
+def test_exact_dup_clusters_normalized(spark):
+    rows = [
+        (1, "Hello,  World!"),
+        (2, "hello world"),          # same after normalization
+        (3, "entirely different"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.exact_dup_clusters(df, "text", "doc_id").collect()
+    assert len(out) == 1
+    assert out[0]["cluster_size"] == 2 and out[0]["keep_id"] == 1
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["t"])
+    got = [r["s"] for r in df.select(dedup.word_shingles("t", 3).alias("s")).collect()]
+    assert sorted(got[0]) == ["a b c", "b c d"]
+    assert got[1] == []  # fewer tokens than n -> no shingles
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "totally different words here now")],
+        ["doc_id", "text"],
+    )
+    sig = dedup.minhash_signatures(df, "text", "doc_id", num_hashes=4).collect()
+    by = {r["doc_id"]: tuple(r[f"minhash_{k}"] for k in range(4)) for r in sig}
+    assert by[1] == by[2]
+    assert by[1] != by[3]
+
+
+def test_lsh_pairs_find_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely unrelated text corpus entry")],
+        ["doc_id", "text"],
+    )
+    sig = dedup.minhash_signatures(df, "text", "doc_id", num_hashes=8)
+    bands = dedup.lsh_bands(sig, "doc_id", num_hashes=8, band_size=2)
+    pairs = {(r["a"], r["b"]) for r in dedup.lsh_candidate_pairs(bands, "doc_id").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame([("a b c d", "a b c d"), ("a b c d", "x y z w")], ["x", "y"])
+    got = [r["j"] for r in df.select(dedup.ngram_jaccard(F.col("x"), F.col("y"), 2).alias("j")).collect()]
+    assert got[0] == 1.0 and got[1] == 0.0
+
+
+def test_simhash_close_for_near_dups(spark):
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base + " extraone"
+    far = " ".join(f"other{i}" for i in range(40))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    out = {r["doc_id"]: r["sh"] for r in df.select("doc_id", dedup.simhash48("text").alias("sh")).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+    assert hamming(out[1], out[2]) <= 6
+
+
+def test_simhash_blocks_cover_near_dup(spark):
+    df = spark.createDataFrame([(1, 0b1111_000000000000_111111111111_000000000000_101010101010)], ["id", "sh"])
+    blocks = df.select(*dedup.simhash_blocks(F.col("sh"))).first()
+    assert blocks["simhash_block_0"] == 0b101010101010
+
+
+def test_brute_force_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 0.01]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [3, 1]  # closest by cosine, excluding self
+
+
+def test_lsh_topk_subset_of_bruteforce(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") < 3)
+    bf = similarity.brute_force_topk(embeddings, q, k=5)
+    ann = similarity.lsh_topk(embeddings, q, dim=16, k=5)
+    # every ANN hit must also be a real corpus vector with the same
+    # rounded similarity as brute force computes for that pair
+    joined = ann.alias("a").join(
+        bf.alias("b"),
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.neighbor_id") == F.col("b.neighbor_id")),
+    )
+    mismatches = joined.filter(F.col("a.cos_sim") != F.col("b.cos_sim")).count()
+    assert mismatches == 0

@@ -1,0 +1,193 @@
+"""Feature-function parity vs pure-Python twins (the reference's
+semantics re-derived independently; SURVEY.md §2.3-2.4)."""
+
+from __future__ import annotations
+
+import base64
+import difflib
+import math
+import zlib
+from collections import Counter
+from urllib.parse import unquote
+
+import pytest
+from pyspark.sql import functions as F
+
+from cookieblock_consent_classifier_spark.functions import native, vectorized as V
+
+VALUES = [
+    "hello world",
+    "a%20b%7Cc",                     # url-encoded
+    "dGVzdHN0cmluZw==",              # base64
+    '{"a": 1, "b": {"c": 2}}',       # json object
+    "12345",
+    "deadbeef",
+    "DEADBEEF123",
+    "٣٤٥",                           # unicode digits: isnumeric true, regex [0-9] false
+    "",
+    "   ",
+    "true",
+    "a,b,c,d",
+    "1609459200123",                 # 16-prefix epoch millis
+    "2021-03-04",
+    "Mon, 01 Jan 2024",
+    "https://example.com/x",
+    "f81d4fae-7dec-41d0-a765-00a0c91e6bf6",  # uuid v4
+    "UPPER",
+    "lower",
+    "_ident_1",
+]
+
+
+@pytest.fixture(scope="module")
+def vals(spark):
+    return spark.createDataFrame([(v,) for v in VALUES], ["v"]).cache()
+
+
+def collect_col(df, col):
+    return [r["c"] for r in df.select(col.alias("c")).collect()]
+
+
+def test_entropy_matches_python(vals):
+    got = collect_col(vals, V.shannon_entropy("v"))
+    for v, g in zip(VALUES, got):
+        dec = unquote(v)
+        if len(dec) == 0:
+            exp = 0.0
+        else:
+            cnt = Counter(dec)
+            exp = -sum((c / len(dec)) * math.log2(c / len(dec)) for c in cnt.values())
+        assert g == pytest.approx(exp), v
+
+
+def test_zlib_len_matches_python(vals):
+    got = collect_col(vals, V.zlib_compressed_len("v"))
+    for v, g in zip(VALUES, got):
+        assert g == len(zlib.compress(unquote(v).encode(), 9)), v
+
+
+def test_base64_validity(vals):
+    got = collect_col(vals, V.base64_valid("v"))
+    for v, g in zip(VALUES, got):
+        try:
+            base64.b64decode(v, validate=True)
+            exp = True
+        except Exception:
+            exp = False
+        assert g == exp, v
+
+
+def test_str_classes_unicode_exact(vals):
+    for kind, fn in [
+        ("numeric", str.isnumeric),
+        ("alpha", str.isalpha),
+        ("upper", str.isupper),
+        ("lower", str.islower),
+        ("identifier", str.isidentifier),
+    ]:
+        got = collect_col(vals, V.str_class_udf(kind)("v"))
+        for v, g in zip(VALUES, got):
+            exp = 1.0 if fn(unquote(v)) else -1.0
+            assert g == exp, (kind, v)
+
+
+def test_unicode_digits_diverge_from_regex(spark):
+    # the reason isnumeric is a pandas UDF, not rlike (SURVEY §2.3#17)
+    df = spark.createDataFrame([("٣٤٥",)], ["v"])
+    regex = df.select(F.col("v").rlike("^[0-9]+$").alias("c")).first()["c"]
+    py = df.select(V.str_class_udf("numeric")("v").alias("c")).first()["c"]
+    assert regex is False and py == 1.0
+
+
+def test_gestalt_matches_difflib(spark):
+    pairs = [("abcdef", "abcxef"), ("", "x"), ("same", "same")]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    got = collect_col(df, V.gestalt_ratio("a", "b"))
+    for (a, b), g in zip(pairs, got):
+        assert g == pytest.approx(difflib.SequenceMatcher(None, a, b).ratio())
+
+
+def test_expiry_buckets_overlap_at_boundary(spark):
+    # at exactly 1 hour BOTH bucket0 (<=1h) and bucket1 (1-12h) fire —
+    # reference overlap semantics (processor.py:1036-1050).
+    df = spark.createDataFrame([(3600,)], ["e"])
+    cols = native.expiry_buckets("e")
+    row = df.select(*[c.alias(f"b{i}") for i, c in enumerate(cols)]).first()
+    assert row["b0"] == 1.0 and row["b1"] == 1.0
+    assert all(row[f"b{i}"] is None for i in range(2, 8))
+
+
+def test_pm_encoding_true_false(spark):
+    df = spark.createDataFrame([(True,), (False,)], ["f"])
+    got = collect_col(df, native.pm_flag("f"))
+    assert got == [1.0, -1.0]
+
+
+def test_one_hot_unknown_all_minus(spark):
+    df = spark.createDataFrame([("lax",), ("weird",)], ["s"])
+    cols = native.one_hot("s", ["no_restriction", "lax", "strict"])
+    rows = df.select(*[c.alias(f"c{i}") for i, c in enumerate(cols)]).collect()
+    assert [rows[0][f"c{i}"] for i in range(3)] == [-1.0, 1.0, -1.0]
+    assert [rows[1][f"c{i}"] for i in range(3)] == [-1.0, -1.0, -1.0]
+
+
+def test_uuid_onehot(vals):
+    cols = native.uuid_version_onehot("v")
+    rows = vals.select(
+        F.col("v"), *[c.alias(f"u{i}") for i, c in enumerate(cols)]
+    ).collect()
+    by = {r["v"]: [r[f"u{i}"] for i in range(6)] for r in rows}
+    assert by["f81d4fae-7dec-41d0-a765-00a0c91e6bf6"] == [-1.0, -1.0, -1.0, 1.0, -1.0, -1.0]
+    assert by["hello world"] == [-1.0] * 6
+
+
+def test_regex_detectors(vals):
+    rows = vals.select(
+        "v",
+        native.boolean_content("v").alias("bool"),
+        native.timestamp_content("v").alias("tsc"),
+        native.date_content("v").alias("date"),
+        native.url_content("v").alias("url"),
+        native.hex_content("v").alias("hex"),
+        native.empty_content("v").alias("empty"),
+    ).collect()
+    by = {r["v"]: r for r in rows}
+    assert by["true"]["bool"] == 1.0 and by["hello world"]["bool"] == -1.0
+    assert by["1609459200123"]["tsc"] == 1.0
+    assert by["2021-03-04"]["date"] == 1.0 and by["Mon, 01 Jan 2024"]["date"] == 1.0
+    assert by["https://example.com/x"]["url"] == 1.0
+    assert by["deadbeef"]["hex"] == 1.0 and by["12345"]["hex"] == -1.0
+    assert by[""]["empty"] == 1.0 and by["   "]["empty"] == 1.0
+
+
+def test_url_encoding_and_content_length(spark):
+    df = spark.createDataFrame([("a%20b",), ("plain",)], ["v"])
+    enc = collect_col(df, native.url_encoded("v"))
+    assert enc == [1.0, -1.0]
+    cl = collect_col(df, native.content_length("v"))
+    assert cl == [3.0, 5.0]  # "a b" is 3 utf-8 bytes
+
+
+def test_uniform_domain(spark):
+    df = spark.createDataFrame(
+        [("https://www.example.com/",), (".example.com",), ("www3.sub.example.com",)], ["d"]
+    )
+    got = collect_col(df, native.uniform_domain("d"))
+    assert got == ["example.com", "example.com", "sub.example.com"]
+
+
+def test_csv_sniffer_parity(spark):
+    import csv
+
+    vals = ["a,b,c", "x|y|z|w", "no-delims-here maybe", "k=v&k2=v2"]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = [r["c"] for r in df.select(V.csv_sniff_udf()("v").alias("c")).collect()]
+    sniffer = csv.Sniffer()
+    delims = ",|#:;&_.-"
+    for v, g in zip(vals, got):
+        try:
+            d = sniffer.sniff(v, delimiters=delims).delimiter
+            exp = (delims.index(d), len(v.split(d))) if d in delims else (None, None)
+        except csv.Error:
+            exp = (None, None)
+        assert (g["delim_idx"], g["num_tokens"]) == exp, v
