@@ -861,6 +861,33 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
+@_q("cookie_feature_pipeline")  # full declared-schema extraction: no SQL twin
+def q_cookie_feature_pipeline(spark, sf_dir):
+    """The flagship parity surface: compile the full declared feature
+    schema (reference features.json shape, SURVEY §1.2/§2) over a
+    synthesized cookie-update table → sparse (indices, values) rows +
+    label + weight. Values are pinned by tests/test_pipeline.py's
+    pure-Python twin; this entry pins row shape + determinism."""
+    from cookieblock_consent_classifier_spark.plans.compiler import (
+        compile_features, default_schema,
+    )
+    from cookieblock_consent_classifier_spark.sources.resources import fixture_resources
+    from cookieblock_consent_classifier_spark.sources.synth import synth_cookie_updates
+
+    res = fixture_resources()
+    df = synth_cookie_updates(spark, num_entities=500, updates_per_entity=3)
+    wide, names = compile_features(df, default_schema(res, num_updates=2, num_diffs=1), res)
+    return wide.select(
+        "entity_id",
+        F.size("indices").alias("nnz"),
+        F.round(
+            F.aggregate("values", F.lit(0.0), lambda a, v: a + F.abs(v)), 4
+        ).alias("l1_norm"),
+        "label",
+        F.round("weight", 6).alias("weight"),
+    )
+
+
 @_q("image_pipeline")  # synthesized binary payloads: no SQL twin
 def q_image_pipeline(spark, sf_dir):
     """north-rule image+caption pipeline on the synthesized table:

@@ -161,6 +161,54 @@ def uuid_version_onehot(col: str | Column) -> list[Column]:
     return out
 
 
+# --- reference-exact regex variants (used by the parity plan
+# compiler; the generic detectors above are the engine's own
+# query-surface versions) -------------------------------------------
+
+REF_DATE_YMD = r"(19[7-9][0-9]|20[0-3][0-9]|[0-9][0-9])-[01][0-9]-[0-3][0-9]"  # processor.py:157
+REF_DATE_DMY = r"[0-3][0-9]-[01][0-9]-(19[7-9][0-9]|20[0-3][0-9]|[0-9][0-9])"  # processor.py:158
+REF_DATE_MDY = r"[01][0-9]-[0-3][0-9]-(19[7-9][0-9]|20[0-3][0-9])"             # processor.py:159
+REF_DAYS3 = r"(?i)(Mon|Tue|Wed|Thu|Fri|Sat|Sun)"                               # processor.py:162
+REF_MONTHS3 = r"(?i)(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"         # processor.py:163
+REF_HTTP = r"http(s)?://.*\."                                                  # processor.py:172
+REF_WWW = r"www(2-9)?\..*\."  # NB literal "(2-9)?" quirk preserved   # processor.py:173
+REF_UUID = (
+    r"(?i)[0-9a-f]{8}-[0-9a-f]{4}-([0-9a-f])[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}"
+)  # processor.py:170
+
+
+def date_content_ref(col: str | Column) -> Column:
+    """feature_date_content exact (processor.py:1411-1428)."""
+    c = _c(col)
+    cond = (
+        c.rlike(REF_DATE_YMD)
+        | c.rlike(REF_DATE_DMY)
+        | c.rlike(REF_DATE_MDY)
+        | (c.rlike(REF_DAYS3) & c.rlike(REF_MONTHS3))
+    )
+    return pm(cond)
+
+
+def url_content_ref(col: str | Column) -> Column:
+    """feature_url_content exact incl. the (2-9)? quirk
+    (processor.py:1461-1470)."""
+    c = _c(col)
+    return pm(c.rlike(REF_HTTP) | c.rlike(REF_WWW))
+
+
+def uuid_version_onehot_ref(col: str | Column) -> list[Column]:
+    """feature_canonical_uuid exact (case-insensitive pattern,
+    processor.py:170,1430-1458)."""
+    c = _c(col)
+    ver = F.lower(F.regexp_extract(c, REF_UUID, 1))
+    matched = ver != ""
+    out = []
+    for v in ("1", "2", "3", "4", "5"):
+        out.append(F.when(matched & (ver == v), PLUS()).otherwise(MINUS()))
+    out.append(F.when(matched & ~ver.isin("1", "2", "3", "4", "5"), PLUS()).otherwise(MINUS()))
+    return out
+
+
 def empty_content(col: str | Column) -> Column:
     """feature_empty_content (processor.py:1376-1384): empty or
     whitespace-only (no URL-decode) → ±1."""

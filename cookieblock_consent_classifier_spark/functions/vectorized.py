@@ -141,6 +141,47 @@ def base64_valid(s: pd.Series) -> pd.Series:
     return s.map(_py_b64_valid, na_action="ignore")
 
 
+def gestalt_stats_udf(num_diffs: int):
+    """Per-entity gestalt statistics from the ordered value sequence
+    (one row per entity, input = array<string> of update values):
+    mean/stdev of consecutive SequenceMatcher ratios with −1 sentinels
+    (feature_gestalt_mean_and_stddev, processor.py:812-841) plus the
+    first ``num_diffs`` ratios (feature_gestalt_pattern_ratio,
+    processor.py:1485-1494).
+
+    Runs POST-aggregation so the expensive difflib kernel sees one
+    Arrow batch per entity instead of sitting between the window and
+    the groupBy (where a Python node would break partitioning reuse
+    and force a second shuffle)."""
+    import statistics
+
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("mean", T.DoubleType()),
+                T.StructField("std", T.DoubleType()),
+                T.StructField("diffs", T.ArrayType(T.DoubleType())),
+            ]
+        )
+    )
+    def _udf(vals: pd.Series) -> pd.DataFrame:
+        rows = []
+        for seq in vals:
+            if seq is None or len(seq) < 2:
+                rows.append((-1.0, -1.0, []))
+                continue
+            ratios = [
+                difflib.SequenceMatcher(None, a, b).ratio()
+                for a, b in zip(seq, seq[1:])
+            ]
+            m = statistics.mean(ratios)
+            s = statistics.stdev(ratios) if len(ratios) > 1 else -1.0
+            rows.append((m, s, ratios[:num_diffs]))
+        return pd.DataFrame(rows, columns=["mean", "std", "diffs"], index=vals.index)
+
+    return _udf
+
+
 def str_class_udf(kind: str):
     """±1 unicode str-class feature (feature_numerical/alpha/upper/
     lower/is_identifier, processor.py:1305-1374). URL-decoded first,
@@ -169,13 +210,54 @@ def js_content_len(s: pd.Series) -> pd.Series:
     return s.map(one, na_action="ignore").astype("Int32")
 
 
-def csv_sniff_udf(delimiters: str = ",|#:;&_.-", min_seps: int = 1):
-    """csv.Sniffer-based delimiter detection + token count
-    (feature_delimiter_separated, processor.py:1116-1130 via
-    utils.py:114-143). Returns struct(delim_idx int, num_tokens int);
-    no dialect → nulls. Reproduces the Sniffer restriction to the
-    reference's delimiter set and its minimum-separator rule."""
+DELIMITERS = ",|#:;&_.-"  # processor.py:151
+
+
+def _py_split_delimited(txt: str, min_seps: int, delimiters: str = DELIMITERS):
+    """split_delimiter_separated (utils.py:114-143) semantics:
+    Sniffer dialect over the restricted delimiter set; accepted only if
+    the raw string contains STRICTLY MORE than ``min_seps`` occurrences
+    of the chosen delimiter; split via csv.reader (quote-aware). On
+    sniff failure, the reference checks base64-decodability and then
+    re-sniffs the SAME string (a quirk we reproduce: it almost always
+    fails again). Returns (tokens|None, delimiter|None)."""
     import csv
+
+    sniffer = csv.Sniffer()
+
+    def attempt():
+        dialect = sniffer.sniff(txt, delimiters=delimiters)
+        if txt.count(dialect.delimiter) > min_seps:
+            return list(csv.reader((txt,), dialect))[0], dialect.delimiter
+        return None, None
+
+    try:
+        return attempt()
+    except csv.Error:
+        if _py_b64_decode(txt) is not None:
+            try:
+                return attempt()
+            except csv.Error:
+                pass
+    return None, None
+
+
+def _py_b64_decode(s: str, min_len: int = 8):
+    """try_decode_base64 (utils.py:81-94): decode iff ≥ MIN_B64_LEN
+    and the result is valid UTF-8."""
+    if not isinstance(s, str) or len(s) < min_len:
+        return None
+    try:
+        return base64.b64decode(s).decode("utf-8")
+    except Exception:
+        return None
+
+
+def csv_sniff_udf(delimiters: str = DELIMITERS, min_seps: int = 1):
+    """feature_delimiter_separated (processor.py:1116-1130): chosen
+    delimiter slot = token count, others −1 (handled by the caller);
+    returns struct(delim_idx int, num_tokens int), nulls when not
+    delimiter-separated."""
 
     @pandas_udf(
         T.StructType(
@@ -186,25 +268,174 @@ def csv_sniff_udf(delimiters: str = ",|#:;&_.-", min_seps: int = 1):
         )
     )
     def _udf(s: pd.Series) -> pd.DataFrame:
-        sniffer = csv.Sniffer()
-
         def one(v):
             if v is None:
                 return (None, None)
-            txt = unquote(v)
-            try:
-                dialect = sniffer.sniff(txt, delimiters=delimiters)
-            except csv.Error:
-                return (None, None)
-            d = dialect.delimiter
-            if d not in delimiters:
-                return (None, None)
-            toks = txt.split(d)
-            if len(toks) - 1 < min_seps:
+            toks, d = _py_split_delimited(unquote(v), min_seps, delimiters)
+            if toks is None:
                 return (None, None)
             return (delimiters.index(d), len(toks))
 
         rows = [one(v) for v in s]
         return pd.DataFrame(rows, columns=["delim_idx", "num_tokens"], index=s.index)
+
+    return _udf
+
+
+_TRUTH_PAT = None  # compiled lazily per worker
+
+
+def _truth_pat():
+    global _TRUTH_PAT
+    if _TRUTH_PAT is None:
+        import re
+
+        _TRUTH_PAT = re.compile(r"\b(true|false|yes|no|0|1|on|off)\b", re.IGNORECASE)
+    return _TRUTH_PAT
+
+
+def _hex_pat():
+    import re
+
+    return re.compile("^[0-9a-f]+$", re.IGNORECASE)
+
+
+def _py_csv_content_flags(v: str | None, min_seps: int = 2):
+    """feature_csv_content (processor.py:1176-1213): split (sniffer)
+    then flags over tokens: numeric/hex/alpha/alnum/bool; ±1."""
+    if v is None:
+        return None
+    toks, _ = _py_split_delimited(unquote(v), min_seps)
+    flags = [False] * 5
+    if toks:
+        hx = _hex_pat()
+        tv = _truth_pat()
+        for e in toks:
+            flags[0] |= e.isnumeric()
+            flags[1] |= hx.match(e) is not None
+            flags[2] |= e.isalpha()
+            flags[3] |= e.isalnum()
+            flags[4] |= tv.match(e) is not None
+    return tuple(1.0 if f else -1.0 for f in flags)
+
+
+def csv_content_udf(min_seps: int = 2):
+    fields = ["csv_num", "csv_hex", "csv_alpha", "csv_alnum", "csv_bool"]
+
+    @pandas_udf(T.StructType([T.StructField(f, T.DoubleType()) for f in fields]))
+    def _udf(s: pd.Series) -> pd.DataFrame:
+        rows = [
+            _py_csv_content_flags(v, min_seps) if v is not None else (None,) * 5
+            for v in s
+        ]
+        return pd.DataFrame(rows, columns=fields, index=s.index)
+
+    return _udf
+
+
+def _py_js_content(v: str | None):
+    """feature_js_content (processor.py:1215-1303): 11-wide vector —
+    len(dict) (or −1), then ±1 flags: id-key, bool, num, string, alpha,
+    alnum, subobject, list, none, hex. The reference's js2py fallback
+    for JS literals is replaced by strict json.loads (the bounded
+    lenient pass lives in _py_json_object; parity covered by fixture
+    tests)."""
+    import re
+
+    if v is None:
+        return None
+    txt = unquote(v)
+    data = None
+    if "{" in txt:
+        data = _try_json_dict(txt)
+    else:
+        dec = _py_b64_decode(txt)
+        if dec and "{" in dec:
+            data = _try_json_dict(dec)
+
+    flags = dict.fromkeys(
+        ["id", "bool", "num", "str", "alpha", "alnum", "sub", "list", "none", "hex"], False
+    )
+    if isinstance(data, dict):
+        idpat = re.compile("(id|ident)", re.IGNORECASE)
+        hx = _hex_pat()
+        tv = _truth_pat()
+        for key in data:
+            if isinstance(key, str) and idpat.search(key):
+                flags["id"] = True
+        for val in data.values():
+            # reference order: int/float first (excl. bool), then bool
+            if type(val) in (int, float):
+                flags["num"] = True
+            elif type(val) is bool:
+                flags["bool"] = True
+            elif type(val) is str:
+                flags["str"] = True
+                if tv.match(val):
+                    flags["bool"] = True
+                elif val.isnumeric():
+                    flags["num"] = True
+                elif hx.match(val):
+                    flags["hex"] = True
+                if val.isalpha():
+                    flags["alpha"] = True
+                elif val.isalnum():
+                    flags["alnum"] = True
+            elif type(val) is dict:
+                flags["sub"] = True
+            elif type(val) is list:
+                flags["list"] = True
+            elif val is None:
+                flags["none"] = True
+    length = float(len(data)) if data is not None else -1.0
+    order = ["id", "bool", "num", "str", "alpha", "alnum", "sub", "list", "none", "hex"]
+    return (length, *[1.0 if flags[k] else -1.0 for k in order])
+
+
+def _try_json_dict(txt: str):
+    try:
+        obj = json.loads(txt)
+        return obj if isinstance(obj, dict) else None
+    except Exception:
+        return None
+
+
+JS_CONTENT_FIELDS = [
+    "js_len", "js_id", "js_bool", "js_num", "js_str", "js_alpha",
+    "js_alnum", "js_sub", "js_list", "js_none", "js_hex",
+]
+
+
+@pandas_udf(T.StructType([T.StructField(f, T.DoubleType()) for f in JS_CONTENT_FIELDS]))
+def js_content_udf(s: pd.Series) -> pd.DataFrame:
+    rows = [_py_js_content(v) if v is not None else (None,) * 11 for v in s]
+    return pd.DataFrame(rows, columns=JS_CONTENT_FIELDS, index=s.index)
+
+
+def regex_ranks_udf(patterns: list[str], mode: str = "search", flags: int = 0,
+                    url_decode: bool = False):
+    """Multi-hot regex-list lookup → array of matched ranks.
+
+    Covers feature_pattern_names (.match, processor.py:712-722),
+    feature_name_tokens (.search, :724-733), and
+    feature_english_terms_in_content (.search on unquoted value,
+    :1164-1174). The pattern list is captured in the closure (compiled
+    once per executor at UDF init — the reference's precompile
+    discipline, processor.py:154-175); a broadcast-variable hookup is
+    unnecessary at these list sizes (≤500 strings ship with the task).
+    """
+    import re
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        compiled = [(re.compile(p, flags), i) for i, p in enumerate(patterns)]
+        matcher = (lambda c, v: c.match(v)) if mode == "match" else (lambda c, v: c.search(v))
+
+        def one(v):
+            if url_decode:
+                v = unquote(v)
+            return [rank for c, rank in compiled if matcher(c, v)]
+
+        return s.map(one, na_action="ignore")
 
     return _udf

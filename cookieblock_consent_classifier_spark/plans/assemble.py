@@ -1,0 +1,74 @@
+"""Ordered sparse assembly: wide feature blocks → (indices, values)
+arrays per entity row + label + inverse-class-frequency weight.
+
+The Spark analogue of the reference's COO accumulation → CSR matrix
+(processor.py:127-134, 301-304): NULL feature slots are simply not
+emitted (sparse zero = absent, SURVEY §1.2), indices are ascending,
+and the declared width invariant (every index < total width;
+processor.py:197-200 row-width assert) is enforced structurally —
+offsets come from the same declaration walk that produced the names.
+
+All array surgery is native (arrays_zip/filter/flatten/transform) —
+no Python, no shuffle beyond the compiler's single groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from cookieblock_consent_classifier_spark.plans.compiler import Block
+
+
+def assemble_sparse(
+    wide: DataFrame,
+    blocks: list[Block],
+    entity_col: str = "entity_id",
+    label_col: str | None = "label",
+    with_weights: bool = True,
+) -> DataFrame:
+    """Returns (entity_id, indices array<int>, values array<double>,
+    label, weight)."""
+    pieces = []
+    base = 0
+    for b in blocks:
+        if b.kind == "fixed":
+            entries = [
+                F.struct(
+                    F.lit(base + i).alias("i"),
+                    col.cast("double").alias("v"),
+                )
+                for i, col in enumerate(b.cols)
+            ]
+            pieces.append(F.array(*entries))
+        else:  # ranks: fired offsets within the block, each valued 1.0
+            off = F.lit(base)
+            pieces.append(
+                F.transform(
+                    b.ranks,
+                    lambda r: F.struct((off + r).alias("i"), F.lit(1.0).alias("v")),
+                )
+            )
+        base += b.width
+
+    coo = F.filter(F.flatten(F.array(*pieces)), lambda e: e["v"].isNotNull())
+    coo = F.array_sort(coo)  # structs sort by first field → ascending index
+    out = wide.withColumn("__coo", coo).select(
+        entity_col,
+        F.transform("__coo", lambda e: e["i"]).alias("indices"),
+        F.transform("__coo", lambda e: e["v"]).alias("values"),
+        *( [F.col(label_col).cast("int").alias("label")] if label_col else [] ),
+    )
+    if label_col and with_weights:
+        # inverse class frequency n_total/n_class (processor.py:263-273).
+        # A global Window would funnel every row through one partition;
+        # instead aggregate the tiny per-label counts and broadcast-join
+        # them back (scales to any row count).
+        counts = out.groupBy("label").agg(F.count("*").alias("__n"))
+        totals = counts.agg(F.sum("__n").alias("__total"))
+        counts = counts.crossJoin(F.broadcast(totals)).select(
+            "label", (F.col("__total") / F.col("__n")).alias("weight")
+        )
+        out = out.join(F.broadcast(counts), "label", "left").select(
+            entity_col, "indices", "values", "label", "weight"
+        )
+    return out

@@ -1,0 +1,507 @@
+"""Config → lazy DataFrame plan compiler.
+
+The reference interprets its declared feature schema row-at-a-time
+(processor.py:400-455: three getattr-dispatch loops per entity). This
+compiler emits ONE Catalyst DAG for the whole schema:
+
+    scan → [optional label/sample filters]
+         → row-wise per-update projections (native exprs + pandas UDFs)
+         → one (entity, ts) window pass: lag columns + slot ranks
+         → groupBy(entity): per-entity aggregates + slot pivots
+           (per-update and per-diff blocks pivot inside the SAME
+           aggregation — one shuffle for everything)
+         → broadcast lookup joins (top-k ranks)
+         → ordered sparse assembly (plans/assemble.py)
+
+Physical shape: exactly one hash-exchange on entity_id plus N tiny
+broadcast exchanges; every row-wise expression is codegen'd or
+Arrow-batched. Disabled features are simply not emitted — Catalyst
+then prunes their input columns from the scan (the reference's
+`enabled`-flag pruning, processor.py:95-121, for free).
+
+Feature semantics cite /root/reference/feature_extraction/*.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from cookieblock_consent_classifier_spark.functions import native, vectorized as V
+from cookieblock_consent_classifier_spark.schema import FeatureSchema, FeatureSpec
+from cookieblock_consent_classifier_spark.sources.resources import Resources, rank_df
+
+
+@dataclass
+class Block:
+    """One declared feature's contribution to the output vector:
+    ``width`` slots starting at a base offset assigned by declaration
+    order. Either ``fixed`` (width scalar columns; NULL → absent) or
+    ``ranks`` (array<int> of fired offsets, each valued 1.0)."""
+
+    name: str
+    width: int
+    kind: str = "fixed"  # "fixed" | "ranks"
+    cols: list[Column] = field(default_factory=list)
+    ranks: Column | None = None
+
+
+# ---------------------------------------------------------------------------
+# default schema: mirrors the reference's shipped features.json order
+# and widths (features.json:1-417); resource-backed widths are
+# parameterized so tests can run with small fixture resources.
+# ---------------------------------------------------------------------------
+
+def default_schema(res: Resources, num_updates: int = 1, num_diffs: int = 1) -> FeatureSchema:
+    pe = [
+        FeatureSpec("top_names", vector_size=len(res.top_names)),
+        FeatureSpec("top_domains", vector_size=len(res.top_domains)),
+        FeatureSpec("pattern_names", vector_size=len(res.name_patterns)),
+        FeatureSpec("name_tokens", vector_size=len(res.name_tokens)),
+        FeatureSpec("iab_vendor"),
+        FeatureSpec("domain_period"),
+        FeatureSpec("host_only"),
+        FeatureSpec("third_party"),
+        FeatureSpec("non_root_path"),
+        FeatureSpec("update_count"),
+        FeatureSpec("http_only_changed"),
+        FeatureSpec("secure_changed"),
+        FeatureSpec("same_site_changed"),
+        FeatureSpec("session_changed"),
+        FeatureSpec("content_changed"),
+        FeatureSpec("expiry_changed"),
+        FeatureSpec("gestalt_total", vector_size=2),
+        FeatureSpec("levenshtein_total", vector_size=2),
+        FeatureSpec("contlength_total", vector_size=2),
+        FeatureSpec("complength_total", vector_size=2),
+        FeatureSpec("entropy_total", vector_size=2),
+    ]
+    pu = [
+        FeatureSpec("http_only"),
+        FeatureSpec("secure"),
+        FeatureSpec("session"),
+        FeatureSpec("same_site", vector_size=3),
+        FeatureSpec("expiry"),
+        FeatureSpec("expiry_extra", vector_size=8),
+        FeatureSpec("content_length"),
+        FeatureSpec("compressed_length", vector_size=2),
+        FeatureSpec("shannon_entropy"),
+        FeatureSpec("url_encoding"),
+        FeatureSpec("delimiter_sep", vector_size=9, args={"min_seps": 1}),
+        FeatureSpec("base64_encoded"),
+        FeatureSpec("contains_js_obj"),
+        FeatureSpec("content_eng_terms", vector_size=len(res.content_terms)),
+        FeatureSpec("csv_contents", vector_size=5, args={"min_seps": 2}),
+        FeatureSpec("js_contents", vector_size=11),
+        FeatureSpec("numerical_content"),
+        FeatureSpec("hex_content"),
+        FeatureSpec("alpha_content"),
+        FeatureSpec("is_identifier"),
+        FeatureSpec("all_uppercase"),
+        FeatureSpec("all_lowercase"),
+        FeatureSpec("empty_content"),
+        FeatureSpec("boolean_content"),
+        FeatureSpec("timestamp_content"),
+        FeatureSpec("date_content"),
+        FeatureSpec("contains_uuid", vector_size=6),
+        FeatureSpec("url_content"),
+    ]
+    pd_ = [
+        FeatureSpec("time_difference"),
+        FeatureSpec("gestalt_similarity"),
+        FeatureSpec("lev_distance"),
+    ]
+    return FeatureSchema(
+        num_updates=num_updates, num_diffs=num_diffs,
+        per_entity=tuple(pe), per_update=tuple(pu), per_diff=tuple(pd_),
+    )
+
+
+DEFAULT_SCHEMA = None  # set lazily by callers with their Resources
+
+
+# ---------------------------------------------------------------------------
+# per-update feature builders: value/flag columns → width Columns
+# (NULL = absent = sparse zero). Encoding: true→1.0 false→−1.0.
+# ---------------------------------------------------------------------------
+
+def _pm_b(cond: Column) -> list[Column]:
+    return [native.pm(cond)]
+
+
+def _per_update_builders(res: Resources) -> dict[str, Callable[[dict], list[Column] | Column]]:
+    """Maps spec name → builder(cols) where cols is a dict of the
+    update-row columns. A builder returns a list of fixed Columns, or
+    for rank-multihot features a single array<int> Column."""
+    v = lambda c: c["value"]  # noqa: E731
+
+    def same_site(c):
+        return native.one_hot(c["same_site"], ["no_restriction", "lax", "strict"])
+
+    def compressed(c):
+        # compressed size + reduction (processor.py:1061-1081)
+        raw = F.octet_length(F.coalesce(F.try_url_decode(v(c)), v(c)))
+        z = V.zlib_compressed_len(v(c))
+        return [z.cast("double"), (raw - z).cast("double")]
+
+    def delimiter_sep(c, min_seps=1):
+        # 9-wide: chosen delimiter slot = token count, others −1
+        # (processor.py:1116-1130)
+        sniff = V.csv_sniff_udf(min_seps=min_seps)(v(c))
+        out = []
+        for i in range(len(V.DELIMITERS)):
+            out.append(
+                F.when(sniff["delim_idx"] == i, sniff["num_tokens"].cast("double"))
+                .otherwise(F.lit(-1.0))
+            )
+        return out
+
+    def csv_contents(c, min_seps=2):
+        s = V.csv_content_udf(min_seps=min_seps)(v(c))
+        return [s[f] for f in ["csv_num", "csv_hex", "csv_alpha", "csv_alnum", "csv_bool"]]
+
+    def js_contents(c):
+        s = V.js_content_udf(v(c))
+        return [s[f] for f in V.JS_CONTENT_FIELDS]
+
+    def b64(c):
+        return [native.pm(V.base64_valid(v(c)))]
+
+    def js_obj(c):
+        # fast regex path on url-decoded value; base64 fallback covered
+        # by the decoded check (processor.py:1148-1162, utils.py:81-94)
+        dec = F.coalesce(F.try_url_decode(v(c)), v(c))
+        return [native.pm(dec.rlike(r"^\{.*\}$"))]
+
+    def eng_terms(c):
+        return V.regex_ranks_udf(res.content_terms, mode="search", url_decode=True)(v(c))
+
+    def str_cls(kind, extra=None):
+        def b(c):
+            base = V.str_class_udf(kind)(v(c))
+            return [base if extra is None else extra(base, c)]
+        return b
+
+    def hex_content(c):
+        # all-hex AND not unicode-numeric (processor.py:1317-1326)
+        dec = F.coalesce(F.try_url_decode(v(c)), v(c))
+        isnum = V.str_class_udf("numeric")(v(c))
+        return [native.pm(dec.rlike(r"^[0-9a-fA-F]+$") & (isnum == -1.0))]
+
+    def is_ident(c):
+        # identifier AND NOT alpha AND NOT numeric (processor.py:1339-1350)
+        ident = V.str_class_udf("identifier")(v(c))
+        alpha = V.str_class_udf("alpha")(v(c))
+        num = V.str_class_udf("numeric")(v(c))
+        return [native.pm((ident == 1.0) & (alpha == -1.0) & (num == -1.0))]
+
+    def decoded(c):
+        return F.coalesce(F.try_url_decode(v(c)), v(c))
+
+    return {
+        "http_only": lambda c: [native.pm_flag(c["http_only"])],
+        "secure": lambda c: [native.pm_flag(c["secure"])],
+        "session": lambda c: [native.pm_flag(c["session"])],
+        "same_site": same_site,
+        "expiry": lambda c: [c["expiry"].cast("double")],
+        "expiry_extra": lambda c: native.expiry_buckets(c["expiry"]),
+        "content_length": lambda c: [native.content_length(v(c))],
+        "compressed_length": compressed,
+        "shannon_entropy": lambda c: [V.shannon_entropy(v(c))],
+        "url_encoding": lambda c: [native.url_encoded(v(c))],
+        "delimiter_sep": delimiter_sep,
+        "base64_encoded": b64,
+        "contains_js_obj": js_obj,
+        "content_eng_terms": eng_terms,
+        "csv_contents": csv_contents,
+        "js_contents": js_contents,
+        "numerical_content": str_cls("numeric"),
+        "hex_content": hex_content,
+        "alpha_content": str_cls("alpha"),
+        "is_identifier": is_ident,
+        "all_uppercase": str_cls("upper"),
+        "all_lowercase": str_cls("lower"),
+        "empty_content": lambda c: [native.empty_content(v(c))],
+        "boolean_content": lambda c: [native.pm(F.lower(decoded(c)).rlike(native.BOOLEAN_PAT))],
+        "timestamp_content": lambda c: [native.pm(decoded(c).rlike(native.TIMESTAMP_PAT))],
+        "date_content": lambda c: [native.date_content_ref(decoded(c))],
+        "contains_uuid": lambda c: native.uuid_version_onehot_ref(decoded(c)),
+        "url_content": lambda c: [native.url_content_ref(decoded(c))],
+    }
+
+
+RANK_FEATURES = {"content_eng_terms", "top_names", "top_domains", "pattern_names", "name_tokens"}
+
+
+# ---------------------------------------------------------------------------
+# the compiler
+# ---------------------------------------------------------------------------
+
+def compile_features(
+    df: DataFrame,
+    schema: FeatureSchema,
+    res: Resources,
+    entity_col: str = "entity_id",
+    training: bool = True,
+    skip_sample_mod: int | None = None,
+    with_weights: bool = True,
+) -> tuple[DataFrame, list[str]]:
+    """Compile the declared schema over a long-format entity-update
+    DataFrame (COOKIE_UPDATE_SCHEMA shape) into a wide per-entity
+    DataFrame of named feature columns (+ label), ready for sparse
+    assembly. Returns (wide_df, feature_names).
+
+    training=True applies the reference's label-range filter
+    (processor.py:473-478) and, when ``skip_sample_mod`` is set, the
+    deterministic hash replacement of its random CMP-cookie skip
+    (processor.py:481-483): drop matching-name entities unless
+    xxhash64(entity) % mod == 0.
+    """
+    spark = df.sparkSession
+    names = schema.feature_names()
+
+    if training:
+        df = df.filter(F.col("label").between(0, 3))
+        if skip_sample_mod:
+            cmp_name = F.col("name").rlike("^(OptanonConsent|OptanonAlertBoxClosed|CookieConsent)$")
+            keep = F.pmod(F.xxhash64(F.col(entity_col)), F.lit(skip_sample_mod)) == 0
+            df = df.filter(~cmp_name | keep)
+
+    builders = _per_update_builders(res)
+    w = Window.partitionBy(entity_col).orderBy("ts", "update_idx")
+
+    # ---- stage 0 (PRE-shuffle): every row-local projection — all 28
+    # per-update feature blocks and the per-entity sequence metrics.
+    # Pandas-UDF nodes (ArrowEvalPython) do not report an
+    # outputPartitioning, so any UDF placed between the Window and the
+    # groupBy would force a second full exchange; below the window
+    # shuffle they cost nothing extra. The only pair-dependent Python
+    # kernel (gestalt) runs POST-aggregation over collected value
+    # arrays (one row per entity), keeping the plan at exactly one
+    # entity exchange.
+    proj = df
+    colmap = {
+        "value": F.col("value"), "expiry": F.col("expiry"),
+        "http_only": F.col("http_only"), "secure": F.col("secure"),
+        "session": F.col("session"), "same_site": F.col("same_site"),
+        "host_only": F.col("host_only"),
+    }
+    upd_cols: dict[str, list[str] | str] = {}
+    for spec in schema.per_update:
+        if not spec.enabled:
+            continue
+        built = builders[spec.name](colmap, **spec.args) if spec.args else builders[spec.name](colmap)
+        if spec.name in RANK_FEATURES:
+            cname = f"u__{spec.name}"
+            proj = proj.withColumn(cname, built)
+            upd_cols[spec.name] = cname
+        else:
+            assert len(built) == spec.vector_size, spec.name
+            cnames = []
+            for i, col in enumerate(built):
+                cname = f"u__{spec.name}__{i}"
+                proj = proj.withColumn(cname, col.cast("double"))
+                cnames.append(cname)
+            upd_cols[spec.name] = cnames
+
+    proj = proj.withColumn("__byte_len", F.octet_length("value").cast("double"))
+    proj = proj.withColumn("__zlib_len", V.zlib_compressed_len("value").cast("double"))
+    proj = proj.withColumn("__entropy", V.shannon_entropy("value"))
+
+    # ---- stage 1 (the ONE shuffle): window lag columns + change
+    # flags + slot ranks — native expressions only from here to the
+    # aggregate, so the groupBy reuses the window's partitioning.
+    proj = proj.withColumn("__slot", F.row_number().over(w) - F.lit(1))
+    proj = proj.withColumn("__prev_value", F.lag("value").over(w))
+    proj = proj.withColumn("__prev_expiry", F.lag("expiry").over(w))
+    # consecutive-change flags via the SAME window. (count_distinct
+    # would be algebraically equivalent for non-null sequences, but N
+    # distinct aggs compile to an Expand + an extra shuffle on
+    # (entity, col, gid) — lag flags keep the plan at one exchange.)
+    for flag in ("http_only", "secure", "same_site", "session"):
+        prev = F.lag(flag).over(w)
+        proj = proj.withColumn(
+            f"__chg_{flag}",
+            F.when(prev.isNotNull() & (F.col(flag) != prev), 1).otherwise(0),
+        )
+
+    # per-diff raw metrics (slot d = diff between update d and d+1);
+    # gestalt is handled post-agg (see above)
+    proj = proj.withColumn("d__time_difference", (F.col("expiry") - F.col("__prev_expiry")).cast("double"))
+    proj = proj.withColumn("d__lev_distance", F.when(
+        F.col("__prev_value").isNotNull(), F.levenshtein("__prev_value", "value").cast("double")))
+
+    # ---- stage 2: single groupBy(entity): slot pivots + aggregates
+    aggs: list[Column] = []
+
+    def slot_val(col: str, u: int) -> Column:
+        return F.max(F.when(F.col("__slot") == u, F.col(col)))
+
+    # per-update pivots (feature-major order like the output vector)
+    pivot_names: dict[tuple[str, int], list[str] | str] = {}
+    for spec in schema.per_update:
+        if not spec.enabled:
+            continue
+        for u in range(schema.num_updates):
+            if spec.name in RANK_FEATURES:
+                out = f"pu__{spec.name}__{u}"
+                aggs.append(slot_val(upd_cols[spec.name], u).alias(out))
+                pivot_names[(spec.name, u)] = out
+            else:
+                outs = []
+                for i, cname in enumerate(upd_cols[spec.name]):
+                    out = f"pu__{spec.name}__{u}__{i}"
+                    aggs.append(slot_val(cname, u).alias(out))
+                    outs.append(out)
+                pivot_names[(spec.name, u)] = outs
+
+    # per-diff pivots: diff d lives on the row with __slot == d+1;
+    # gestalt comes from the post-agg kernel instead
+    diff_names: dict[tuple[str, int], str] = {}
+    for spec in schema.per_diff:
+        if not spec.enabled or spec.name == "gestalt_similarity":
+            continue
+        for d in range(schema.num_diffs):
+            out = f"pd__{spec.name}__{d}"
+            aggs.append(slot_val(f"d__{spec.name}", d + 1).alias(out))
+            diff_names[(spec.name, d)] = out
+
+    # entity attrs (constant per entity)
+    for attr in ("name", "domain", "path", "first_party_domain", "label", "cmp_origin"):
+        aggs.append(F.min(attr).alias(attr))
+
+    # per-entity aggregates (SURVEY §2.4)
+    def changed(col: str) -> Column:
+        return F.when(F.max(F.col(f"__chg_{col}")) == 1, F.lit(1.0))
+
+    def mean_std(col: str, prefix: str) -> list[Column]:
+        return [
+            F.coalesce(F.avg(col), F.lit(-1.0)).alias(f"{prefix}_mean"),
+            F.coalesce(F.stddev_samp(col), F.lit(-1.0)).alias(f"{prefix}_std"),
+        ]
+
+    aggs += [
+        F.count("*").cast("double").alias("e__update_count"),
+        changed("http_only").alias("e__http_only_changed"),
+        changed("secure").alias("e__secure_changed"),
+        changed("same_site").alias("e__same_site_changed"),
+        changed("session").alias("e__session_changed"),
+        F.when(
+            F.max(
+                F.when(F.col("__prev_value").isNotNull() & (F.col("value") != F.col("__prev_value")), 1).otherwise(0)
+            ) == 1, F.lit(1.0),
+        ).alias("e__content_changed"),
+        F.when(
+            F.max(
+                F.when(F.abs(F.col("expiry") - F.col("__prev_expiry")) >= 86400, 1).otherwise(0)
+            ) == 1, F.lit(1.0),
+        ).alias("e__expiry_changed"),
+        F.when(F.min_by("host_only", F.struct("ts", "update_idx")), F.lit(1.0)).alias("e__host_only"),
+        *mean_std("d__lev_distance", "e__levenshtein"),
+        *mean_std("__byte_len", "e__contlength"),
+        *mean_std("__zlib_len", "e__complength"),
+        *mean_std("__entropy", "e__entropy"),
+        # ordered value sequence for the post-agg gestalt kernel
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__slot").alias("s"), F.col("value").alias("v")))
+        ).alias("__vals"),
+    ]
+
+    ent = proj.groupBy(entity_col).agg(*aggs)
+
+    # post-agg gestalt kernel: one Arrow batch per entity row
+    gs = V.gestalt_stats_udf(schema.num_diffs)(
+        F.transform(F.col("__vals"), lambda x: x["v"])
+    )
+    ent = ent.withColumn("__gs", gs)
+    ent = ent.withColumn("e__gestalt_mean", F.col("__gs.mean"))
+    ent = ent.withColumn("e__gestalt_std", F.col("__gs.std"))
+
+    # ---- stage 3: broadcast lookups on the per-entity side
+    enabled_pe = {s.name for s in schema.per_entity if s.enabled}
+    if "top_names" in enabled_pe:
+        tn = rank_df(spark, res.top_names, "name").withColumnRenamed("rank", "__tn_rank")
+        ent = ent.join(F.broadcast(tn), "name", "left")
+    if "top_domains" in enabled_pe:
+        td = rank_df(spark, res.top_domains, "__udom").withColumnRenamed("rank", "__td_rank")
+        ent = ent.withColumn("__udom", native.uniform_domain("domain")).join(
+            F.broadcast(td), "__udom", "left"
+        )
+    if "pattern_names" in enabled_pe:
+        ent = ent.withColumn(
+            "__pat_ranks", V.regex_ranks_udf(res.name_patterns, mode="match")("name")
+        )
+    if "name_tokens" in enabled_pe:
+        ent = ent.withColumn(
+            "__tok_ranks", V.regex_ranks_udf(res.name_tokens, mode="search")("name")
+        )
+
+    # ---- stage 4: named feature columns in declared order
+    pe_exprs: dict[str, list[Column] | Column] = {
+        "top_names": F.when(F.col("__tn_rank").isNotNull(), F.array(F.col("__tn_rank"))).otherwise(F.array().cast("array<int>")) if "top_names" in enabled_pe else None,
+        "top_domains": F.when(F.col("__td_rank").isNotNull(), F.array(F.col("__td_rank"))).otherwise(F.array().cast("array<int>")) if "top_domains" in enabled_pe else None,
+        "pattern_names": F.col("__pat_ranks") if "pattern_names" in enabled_pe else None,
+        "name_tokens": F.col("__tok_ranks") if "name_tokens" in enabled_pe else None,
+        "iab_vendor": [F.when(native.uniform_domain("domain").isin(*res.iab_vendors), F.lit(1.0))],
+        "domain_period": [native.domain_period("domain")],
+        "host_only": [F.col("e__host_only")],
+        "third_party": [native.is_third_party("domain", "first_party_domain")],
+        "non_root_path": [native.non_root_path("path")],
+        "update_count": [F.col("e__update_count")],
+        "http_only_changed": [F.col("e__http_only_changed")],
+        "secure_changed": [F.col("e__secure_changed")],
+        "same_site_changed": [F.col("e__same_site_changed")],
+        "session_changed": [F.col("e__session_changed")],
+        "content_changed": [F.col("e__content_changed")],
+        "expiry_changed": [F.col("e__expiry_changed")],
+        "gestalt_total": [F.col("e__gestalt_mean"), F.col("e__gestalt_std")],
+        "levenshtein_total": [F.col("e__levenshtein_mean"), F.col("e__levenshtein_std")],
+        "contlength_total": [F.col("e__contlength_mean"), F.col("e__contlength_std")],
+        "complength_total": [F.col("e__complength_mean"), F.col("e__complength_std")],
+        "entropy_total": [F.col("e__entropy_mean"), F.col("e__entropy_std")],
+    }
+
+    blocks: list[Block] = []
+    for spec in schema.per_entity:
+        if not spec.enabled:
+            continue
+        expr = pe_exprs[spec.name]
+        if spec.name in RANK_FEATURES:
+            blocks.append(Block(spec.name, spec.vector_size, "ranks", ranks=expr))
+        else:
+            assert len(expr) == spec.vector_size, spec.name
+            blocks.append(Block(spec.name, spec.vector_size, "fixed", cols=expr))
+    for spec in schema.per_update:
+        if not spec.enabled:
+            continue
+        for u in range(schema.num_updates):
+            pn = pivot_names[(spec.name, u)]
+            if spec.name in RANK_FEATURES:
+                blocks.append(Block(f"update_{u}_{spec.name}", spec.vector_size, "ranks",
+                                    ranks=F.coalesce(F.col(pn), F.array().cast("array<int>"))))
+            else:
+                blocks.append(Block(f"update_{u}_{spec.name}", spec.vector_size, "fixed",
+                                    cols=[F.col(c) for c in pn]))
+    for spec in schema.per_diff:
+        if not spec.enabled:
+            continue
+        for d in range(schema.num_diffs):
+            if spec.name == "gestalt_similarity":
+                # try_element_at: missing diff slot → NULL → absent
+                # (ANSI element_at throws out-of-bounds)
+                col = F.try_element_at(F.col("__gs.diffs"), F.lit(d + 1))
+            else:
+                col = F.col(diff_names[(spec.name, d)])
+            blocks.append(Block(f"diff_{d}_{spec.name}", spec.vector_size, "fixed", cols=[col]))
+
+    total = sum(b.width for b in blocks)
+    assert total == schema.total_width == len(names), (total, schema.total_width)
+
+    from cookieblock_consent_classifier_spark.plans.assemble import assemble_sparse
+
+    wide = assemble_sparse(
+        ent, blocks, entity_col=entity_col, label_col="label", with_weights=with_weights
+    )
+    return wide, names

@@ -143,13 +143,17 @@ class FeatureSchema:
             else:
                 out.extend(f"{prefix}{spec.name}-{i}" for i in range(spec.vector_size))
 
+        # NB feature-major order: the reference iterates each feature
+        # across all its update/diff slots before moving to the next
+        # feature (processor.py:411-451), so columns group as
+        # feature × slot, not slot × feature.
         for s in self._enabled(self.per_entity):
             block(s, "")
-        for u in range(self.num_updates):
-            for s in self._enabled(self.per_update):
+        for s in self._enabled(self.per_update):
+            for u in range(self.num_updates):
                 block(s, f"update_{u}_")
-        for d in range(self.num_diffs):
-            for s in self._enabled(self.per_diff):
+        for s in self._enabled(self.per_diff):
+            for d in range(self.num_diffs):
                 block(s, f"diff_{d}_")
         assert len(out) == self.total_width
         return out

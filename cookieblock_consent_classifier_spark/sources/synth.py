@@ -142,6 +142,66 @@ def synth_image_updates(
     )
 
 
+def synth_cookie_updates(
+    spark: SparkSession,
+    num_entities: int = 1000,
+    updates_per_entity: int = 3,
+) -> DataFrame:
+    """Deterministic long-format cookie-update table
+    (COOKIE_UPDATE_SCHEMA shape) generated distributed via
+    spark.range + native expressions — value payloads cycle through
+    the content kinds the feature extractor must discriminate (JSON,
+    base64-ish, CSV, hex, uuid-shaped, url-encoded, plain, empty)."""
+    n = num_entities * updates_per_entity
+    rows = spark.range(n)
+    ent = (F.col("id") / updates_per_entity).cast("long")
+    upd = F.pmod(F.col("id"), F.lit(updates_per_entity)).cast("int")
+    h = F.md5(F.concat(ent.cast("string"), F.lit(":"), upd.cast("string")))
+    kind = F.pmod(F.xxhash64(h), F.lit(8))
+
+    value = (
+        F.when(kind == 0, F.concat(F.lit('{"uid": '), F.pmod(F.xxhash64(ent), F.lit(10000)).cast("string"),
+                                   F.lit(', "consent": true}')))
+        .when(kind == 1, F.base64(F.encode(h, "utf-8")))
+        .when(kind == 2, F.concat_ws(",", F.substring(h, 1, 4), F.substring(h, 5, 4),
+                                     F.substring(h, 9, 4), F.substring(h, 13, 4)))
+        .when(kind == 3, F.substring(h, 1, 16))  # hex
+        .when(kind == 4, F.concat_ws("-", F.substring(h, 1, 8), F.substring(h, 9, 4),
+                                     F.substring(h, 13, 4), F.substring(h, 17, 4), F.substring(h, 21, 12)))
+        .when(kind == 5, F.concat(F.lit("value%20"), F.substring(h, 1, 6)))
+        .when(kind == 6, F.lit(""))
+        .otherwise(F.concat(F.lit("plain "), F.substring(h, 1, 10)))
+    )
+    expiry = F.pmod(F.xxhash64(h, F.lit(1)), F.lit(60000000)).cast("long")
+    flag = lambda salt: F.pmod(F.xxhash64(h, F.lit(salt)), F.lit(2)) == 0  # noqa: E731
+    same_site = (
+        F.when(F.pmod(F.xxhash64(h, F.lit(9)), F.lit(3)) == 0, F.lit("no_restriction"))
+        .when(F.pmod(F.xxhash64(h, F.lit(9)), F.lit(3)) == 1, F.lit("lax"))
+        .otherwise(F.lit("strict"))
+    )
+    name = F.concat(F.lit("cookie_"), F.pmod(ent, F.lit(37)).cast("string"))
+    domain = F.concat(F.lit("cdn"), F.pmod(ent, F.lit(11)).cast("string"), F.lit(".example-ads.com"))
+
+    return rows.select(
+        F.concat(F.lit("ck_"), F.lpad(ent.cast("string"), 10, "0")).alias("entity_id"),
+        F.timestamp_seconds(F.lit(EPOCH0) + ent * 3600 + upd.cast("long") * 600).alias("ts"),
+        name.alias("name"),
+        domain.alias("domain"),
+        F.when(F.pmod(ent, F.lit(5)) == 0, F.lit("/app")).otherwise(F.lit("/")).alias("path"),
+        F.lit("shop.example.com").alias("first_party_domain"),
+        F.pmod(ent, F.lit(5)).cast("int").alias("label"),  # label 4 rows get filtered
+        F.lit(0).alias("cmp_origin"),
+        upd.alias("update_idx"),
+        value.alias("value"),
+        expiry.alias("expiry"),
+        flag(2).alias("session"),
+        flag(3).alias("http_only"),
+        flag(4).alias("host_only"),
+        flag(5).alias("secure"),
+        same_site.alias("same_site"),
+    )
+
+
 def synth_label_dim(spark: SparkSession, num_entities: int = 102) -> DataFrame:
     """As-of label dimension with leakage probes: per entity, labels
     effective before its first update, mid-window, and AFTER its last

@@ -177,17 +177,25 @@ def test_uniform_domain(spark):
 
 
 def test_csv_sniffer_parity(spark):
+    # reference split_delimiter_separated semantics (utils.py:114-143):
+    # sniff over the restricted set, accept only when the raw string
+    # holds STRICTLY MORE than min_seps occurrences, split via
+    # csv.reader (quote-aware)
     import csv
 
-    vals = ["a,b,c", "x|y|z|w", "no-delims-here maybe", "k=v&k2=v2"]
+    vals = ["a,b,c", "x|y|z|w", "no-delims-here maybe", "k=v&k2=v2", "a,b"]
     df = spark.createDataFrame([(v,) for v in vals], ["v"])
-    got = [r["c"] for r in df.select(V.csv_sniff_udf()("v").alias("c")).collect()]
+    got = [r["c"] for r in df.select(V.csv_sniff_udf(min_seps=1)("v").alias("c")).collect()]
     sniffer = csv.Sniffer()
     delims = ",|#:;&_.-"
     for v, g in zip(vals, got):
         try:
-            d = sniffer.sniff(v, delimiters=delims).delimiter
-            exp = (delims.index(d), len(v.split(d))) if d in delims else (None, None)
+            dialect = sniffer.sniff(v, delimiters=delims)
+            if v.count(dialect.delimiter) > 1:
+                toks = list(csv.reader((v,), dialect))[0]
+                exp = (delims.index(dialect.delimiter), len(toks))
+            else:
+                exp = (None, None)
         except csv.Error:
             exp = (None, None)
         assert (g["delim_idx"], g["num_tokens"]) == exp, v

@@ -1,0 +1,64 @@
+"""Sink round-trips: parquet, LibSVM text, debug JSON, feature map."""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from cookieblock_consent_classifier_spark import sinks
+from cookieblock_consent_classifier_spark.plans.compiler import compile_features, default_schema
+from cookieblock_consent_classifier_spark.sources.resources import fixture_resources
+from cookieblock_consent_classifier_spark.sources.synth import synth_cookie_updates
+
+
+@pytest.fixture(scope="module")
+def assembled(spark):
+    res = fixture_resources()
+    df = synth_cookie_updates(spark, num_entities=40, updates_per_entity=3)
+    wide, names = compile_features(df, default_schema(res), res)
+    return wide.cache(), names
+
+
+def test_parquet_roundtrip(spark, assembled):
+    wide, names = assembled
+    with tempfile.TemporaryDirectory() as d:
+        sinks.write_parquet(wide, f"{d}/feat")
+        back = spark.read.parquet(f"{d}/feat")
+        assert back.count() == wide.count()
+        assert set(back.columns) == {"entity_id", "indices", "values", "label", "weight"}
+        assert wide.select("entity_id", "indices", "values").exceptAll(
+            back.select("entity_id", "indices", "values")
+        ).count() == 0
+
+
+def test_libsvm_format(spark, assembled):
+    wide, names = assembled
+    with tempfile.TemporaryDirectory() as d:
+        sinks.write_libsvm(wide, f"{d}/svm")
+        lines = [
+            r["value"] for r in spark.read.text(f"{d}/svm").collect()
+        ]
+        assert len(lines) == wide.count()
+        for line in lines[:10]:
+            parts = line.split(" ")
+            assert parts[0] in {"0", "1", "2", "3"}
+            idx = [int(p.split(":")[0]) for p in parts[1:]]
+            assert idx == sorted(idx)
+            assert all(i >= 0 for i in idx)
+
+
+def test_debug_json_and_feature_map(assembled, tmp_path: Path):
+    wide, names = assembled
+    sinks.write_debug_json(wide, names, str(tmp_path / "debug.json"), limit=5)
+    sinks.write_feature_map(names, str(tmp_path / "fmap.txt"))
+    import json
+
+    dbg = json.loads((tmp_path / "debug.json").read_text())
+    assert len(dbg) == 5
+    assert all(set(d["features"]) <= set(names) for d in dbg)
+    fmap = (tmp_path / "fmap.txt").read_text().splitlines()
+    assert len(fmap) == len(names)
+    assert fmap[0].split("\t")[2] == "q"
