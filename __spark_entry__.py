@@ -642,6 +642,353 @@ def q_cv_folds(spark, sf_dir):
 
 
 # =====================================================================
+# Classifier-side dataflow (SURVEY §2.8) + window/sort ops (§2.7)
+# =====================================================================
+
+@_q(
+    "confusion_matrix",
+    """
+    WITH p AS (
+      SELECT label, CAST('0x' || substr(md5(vec_id::VARCHAR), 1, 2) AS INTEGER) % 10 AS pred
+      FROM embeddings
+    )
+    SELECT label, pred, count(*)::BIGINT AS n FROM p GROUP BY label, pred
+    """,
+)
+def q_confusion_matrix(spark, sf_dir):
+    """confusion-matrix counts (classifiers/utils.py:157-241) over a
+    deterministic md5-derived pseudo-prediction."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pred = F.pmod(
+        TX.hex_to_long(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2)), F.lit(10)
+    ).cast("int")
+    return emb.select("label", pred.alias("pred")).groupBy("label", "pred").agg(
+        F.count("*").alias("n")
+    )
+
+
+@_q(
+    "precision_recall",
+    """
+    WITH p AS (
+      SELECT label, CAST('0x' || substr(md5(vec_id::VARCHAR), 1, 2) AS INTEGER) % 10 AS pred
+      FROM embeddings
+    ), tp AS (
+      SELECT label AS cls, sum(CASE WHEN pred = label THEN 1 ELSE 0 END)::BIGINT AS tp,
+             count(*)::BIGINT AS support
+      FROM p GROUP BY label
+    ), pp AS (
+      SELECT pred AS cls, count(*)::BIGINT AS pred_n FROM p GROUP BY pred
+    )
+    SELECT tp.cls AS label,
+           round(tp.tp::DOUBLE / tp.support, 6) AS recall,
+           round(CASE WHEN pp.pred_n > 0 THEN tp.tp::DOUBLE / pp.pred_n ELSE 0.0 END, 6) AS precision
+    FROM tp LEFT JOIN pp ON pp.cls = tp.cls
+    """,
+)
+def q_precision_recall(spark, sf_dir):
+    """per-class precision/recall (classifiers/utils.py:157-241)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pred = F.pmod(
+        TX.hex_to_long(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2)), F.lit(10)
+    ).cast("int")
+    p = emb.select("label", pred.alias("pred"))
+    tp = p.groupBy(F.col("label").alias("cls")).agg(
+        F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0)).alias("tp"),
+        F.count("*").alias("support"),
+    )
+    pp = p.groupBy(F.col("pred").alias("cls")).agg(F.count("*").alias("pred_n"))
+    return tp.join(pp, "cls", "left").select(
+        F.col("cls").alias("label"),
+        F.round(F.col("tp") / F.col("support"), 6).alias("recall"),
+        F.round(
+            F.when(F.col("pred_n") > 0, F.col("tp") / F.col("pred_n")).otherwise(F.lit(0.0)), 6
+        ).alias("precision"),
+    )
+
+
+@_q(
+    "bayes_decision",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS p0, CAST(embedding[2] AS DOUBLE) AS p1,
+             CAST(embedding[3] AS DOUBLE) AS p2, CAST(embedding[4] AS DOUBLE) AS p3
+      FROM embeddings
+    ), d AS (
+      SELECT vec_id,
+             p0*0.0 + p1*1.0 + p2*2.0 + p3*3.0 AS d0,
+             p0*1.0 + p1*0.0 + p2*1.0 + p3*2.0 AS d1,
+             p0*2.0 + p1*1.0 + p2*0.0 + p3*1.0 AS d2,
+             p0*3.0 + p1*2.0 + p2*1.0 + p3*0.0 AS d3
+      FROM s
+    )
+    SELECT vec_id,
+           CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                WHEN d2 <= d3 THEN 2 ELSE 3 END AS decision
+    FROM d
+    """,
+)
+def q_bayes_decision(spark, sf_dir):
+    """Bayesian decision argmin(probs @ loss_matrix)
+    (classifiers/utils.py:85-125; predict_class.py:35-53) with a 4x4
+    distance loss; ties break to the lowest class index."""
+    emb = _t(spark, sf_dir, "embeddings")
+    loss = [[0.0, 1.0, 2.0, 3.0], [1.0, 0.0, 1.0, 2.0],
+            [2.0, 1.0, 0.0, 1.0], [3.0, 2.0, 1.0, 0.0]]
+    p = [F.element_at(F.col("embedding"), i + 1).cast("double") for i in range(4)]
+    d = [sum(p[i] * F.lit(loss[i][j]) for i in range(4)) for j in range(4)]
+    decision = (
+        F.when((d[0] <= d[1]) & (d[0] <= d[2]) & (d[0] <= d[3]), 0)
+        .when((d[1] <= d[2]) & (d[1] <= d[3]), 1)
+        .when(d[2] <= d[3], 2)
+        .otherwise(3)
+    )
+    return emb.select("vec_id", decision.alias("decision"))
+
+
+@_q(
+    "confidence_stats",
+    """
+    SELECT label,
+           round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS conf_mean,
+           round(coalesce(stddev_samp(CAST(embedding[1] AS DOUBLE)), -1.0), 6) AS conf_stddev
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_confidence_stats(spark, sf_dir):
+    """per-label prediction-confidence mean/stdev
+    (classifiers/utils.py:128-154)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    conf = F.element_at("embedding", 1).cast("double")
+    return emb.groupBy("label").agg(
+        F.round(F.avg(conf), 6).alias("conf_mean"),
+        F.round(F.coalesce(F.stddev_samp(conf), F.lit(-1.0)), 6).alias("conf_stddev"),
+    )
+
+
+@_q(
+    "hash_split_8020",
+    """
+    WITH s AS (
+      SELECT label,
+             CASE WHEN CAST('0x' || substr(md5(vec_id::VARCHAR), 1, 4) AS INTEGER) % 5 = 0
+                  THEN 'test' ELSE 'train' END AS split
+      FROM embeddings
+    )
+    SELECT label, split, count(*)::BIGINT AS n FROM s GROUP BY label, split
+    """,
+)
+def q_hash_split_8020(spark, sf_dir):
+    """deterministic 80/20 split replacing train_test_split
+    (train_xgb.py:292) — hash-based so resumable runs split
+    identically."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = F.pmod(
+        TX.hex_to_long(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4)), F.lit(5)
+    )
+    split = F.when(bucket == 0, F.lit("test")).otherwise(F.lit("train"))
+    return emb.select("label", split.alias("split")).groupBy("label", "split").agg(
+        F.count("*").alias("n")
+    )
+
+
+@_q(
+    "asof_join_strict",
+    """
+    SELECT e.event_id,
+           arg_max(o.o_orderkey, epoch(o.o_orderdate)::BIGINT * 10000000 + o.o_orderkey) AS orderkey_strict
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate < e.ts
+    GROUP BY e.event_id
+    """,
+)
+def q_asof_join_strict(spark, sf_dir):
+    """strict (exclusive) as-of variant: dim state at exactly fact.ts
+    must NOT be visible."""
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
+    out = asof.asof_join(
+        ev, orders, on="user_id", fact_ts="ts", dim_ts="o_orderdate",
+        payload=["o_orderkey"], dim_order=["o_orderkey"], strict=True,
+    )
+    return out.select("event_id", F.col("o_orderkey_asof").alias("orderkey_strict"))
+
+
+@_q(
+    "salted_agg",
+    """
+    SELECT user_id,
+           round(avg(value), 4) AS mean,
+           round(coalesce(stddev_samp(value), -1.0), 4) AS stddev,
+           count(value)::BIGINT AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def q_salted_agg(spark, sf_dir):
+    """two-phase salted mean/stddev for hot-entity skew
+    (operators/skew.py): algebraically exact (n, Σx, Σx²) merge —
+    must equal the plain aggregation."""
+    from cookieblock_consent_classifier_spark.operators.skew import salted_mean_stddev
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_mean_stddev(ev, "user_id", "value", num_salts=8, salt_cols=["event_id"])
+    return out.select(
+        "user_id",
+        F.round("mean", 4).alias("mean"),
+        F.round(F.when(F.col("n") >= 2, F.col("stddev")).otherwise(F.lit(-1.0)), 4).alias("stddev"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+@_q(
+    "running_sum",
+    """
+    SELECT event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 4) AS running_value
+    FROM events
+    """,
+)
+def q_running_sum(spark, sf_dir):
+    """running cumulative aggregate per entity (unbounded-preceding
+    frame — the same frame family as backfill)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select("event_id", F.round(F.sum("value").over(w), 4).alias("running_value"))
+
+
+@_q(
+    "minmax_normalize",
+    """
+    SELECT event_id,
+           round(CASE WHEN max(value) OVER w > min(value) OVER w
+                      THEN (value - min(value) OVER w) / (max(value) OVER w - min(value) OVER w)
+                 END, 6) AS value_norm
+    FROM events WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def q_minmax_normalize(spark, sf_dir):
+    """per-entity min-max feature scaling (window aggregate over the
+    whole entity frame)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    mn, mx = F.min("value").over(w), F.max("value").over(w)
+    return ev.select(
+        "event_id",
+        F.round(F.when(mx > mn, (F.col("value") - mn) / (mx - mn)), 6).alias("value_norm"),
+    )
+
+
+@_q(
+    "lead_next_event",
+    """
+    SELECT event_id,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+           round(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 1e6
+                 - epoch_us(ts) / 1e6, 4) AS secs_to_next
+    FROM events
+    """,
+)
+def q_lead_next_event(spark, sf_dir):
+    """lead (forward-looking) sequence features."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.round(F.lead(_us("ts")).over(w) / F.lit(1e6) - _us("ts") / F.lit(1e6), 4).alias("secs_to_next"),
+    )
+
+
+@_q(
+    "first_last_per_entity",
+    """
+    WITH r AS (
+      SELECT user_id, props, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id,
+           max(CASE WHEN rn_a = 1 THEN props END) AS first_props,
+           max(CASE WHEN rn_d = 1 THEN props END) AS last_props
+    FROM r GROUP BY user_id
+    """,
+)
+def q_first_last_per_entity(spark, sf_dir):
+    """first/last update payload per entity
+    (feature_host_only_first_update pattern, processor.py:804-810)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by("props", F.struct("ts", "event_id")).alias("first_props"),
+        F.max_by("props", F.struct("ts", "event_id")).alias("last_props"),
+    )
+
+
+@_q(
+    "native_delimiter_counts",
+    """
+    SELECT doc_id,
+           (len(text) - len(replace(text, ',', '')))::BIGINT AS n_comma,
+           (len(text) - len(replace(text, '.', '')))::BIGINT AS n_period,
+           (len(text) - len(replace(text, '-', '')))::BIGINT AS n_dash,
+           (len(text) - len(replace(text, ' ', '')))::BIGINT AS n_space
+    FROM documents
+    """,
+)
+def q_native_delimiter_counts(spark, sf_dir):
+    """native delimiter-count heuristic (delim_sep_check,
+    utils.py:178-196; experimental features processor.py:1509-1555)."""
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    def cnt(d):
+        return (F.length(c) - F.length(F.replace(c, F.lit(d)))).cast("long")
+    return docs.select(
+        "doc_id",
+        cnt(",").alias("n_comma"), cnt(".").alias("n_period"),
+        cnt("-").alias("n_dash"), cnt(" ").alias("n_space"),
+    )
+
+
+@_q(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*)::BIGINT AS n_items
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_revenue_by_nation(spark, sf_dir):
+    """multi-join aggregation anchor (broadcast dims + shuffle fact
+    join; money through DECIMAL for exactness)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+# =====================================================================
 # Dedup / fingerprint / similarity (training-data pipeline ops)
 # =====================================================================
 

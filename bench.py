@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "entropy_zlib",
     "gestalt_diff",
     "simhash",
+    "cookie_feature_pipeline",
 ]
 
 

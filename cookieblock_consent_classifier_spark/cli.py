@@ -1,0 +1,81 @@
+"""spark-submit entry point: run the full feature-extraction pipeline
+with stage checkpoints and print metrics.
+
+Usage (ship path, north rule):
+    zip -r pkg.zip cookieblock_consent_classifier_spark
+    spark-submit --py-files pkg.zip -m cookieblock_consent_classifier_spark.cli \
+        --input <parquet dir or synth:N> --output <dir> [--format libsvm|parquet]
+
+Replaces the reference's prepare_training_data.py CLI
+(prepare_training_data.py:60-139): scan → filter → extract → sink →
+feature map, plus checkpoint/resume and per-stage metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from cookieblock_consent_classifier_spark import sinks
+from cookieblock_consent_classifier_spark.plans.compiler import compile_features, default_schema
+from cookieblock_consent_classifier_spark.runtime.checkpoints import CheckpointedPipeline
+from cookieblock_consent_classifier_spark.session import get_spark
+from cookieblock_consent_classifier_spark.sources.resources import fixture_resources
+from cookieblock_consent_classifier_spark.sources.synth import synth_cookie_updates
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet path or synth:<num_entities>")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--format", default="parquet", choices=["parquet", "libsvm"])
+    ap.add_argument("--num-updates", type=int, default=1)
+    ap.add_argument("--num-diffs", type=int, default=1)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name="cbcs-extract")
+    res = fixture_resources()
+    schema = default_schema(res, num_updates=args.num_updates, num_diffs=args.num_diffs)
+
+    ckpt_root = os.path.join(args.output, "_checkpoints")
+    if args.no_resume and os.path.exists(ckpt_root):
+        import shutil
+
+        shutil.rmtree(ckpt_root)
+    pipe = CheckpointedPipeline(
+        spark, ckpt_root,
+        config_token=f"u{args.num_updates}d{args.num_diffs}i{args.input}",
+    )
+
+    def load(_):
+        if args.input.startswith("synth:"):
+            return synth_cookie_updates(spark, int(args.input.split(":", 1)[1]))
+        return spark.read.parquet(args.input)
+
+    src = pipe.stage("scan", load)
+
+    names_holder: list[list[str]] = []
+
+    def extract(df):
+        wide, names = compile_features(df, schema, res)
+        names_holder.append(names)
+        return wide
+
+    feat = pipe.stage("extract", extract, upstream=src.df, upstream_fingerprint="scan")
+
+    names = names_holder[0] if names_holder else schema.feature_names()
+    if args.format == "libsvm":
+        sinks.write_libsvm(feat.df, os.path.join(args.output, "features_libsvm"))
+    else:
+        sinks.write_parquet(feat.df, os.path.join(args.output, "features_parquet"))
+    sinks.write_feature_map(names, os.path.join(args.output, "feature_map.txt"))
+
+    print(json.dumps({"stages": pipe.metrics(), "width": len(names)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -72,3 +72,17 @@ def assemble_sparse(
             entity_col, "indices", "values", "label", "weight"
         )
     return out
+
+
+def feature_usage_stats(assembled: DataFrame, feature_names: list[str]) -> DataFrame:
+    """Per-feature nonzero counts over the assembled sparse rows
+    (feature_matrix_statistics.py:38-70): explode(indices) → groupBy →
+    count, named by the feature map, sorted descending."""
+    idx = assembled.select(F.explode("indices").alias("fidx"))
+    names = F.array(*[F.lit(n) for n in feature_names])
+    return (
+        idx.groupBy("fidx")
+        .agg(F.count("*").alias("nonzero_count"))
+        .withColumn("feature", F.element_at(names, (F.col("fidx") + 1).cast("int")))
+        .orderBy(F.desc("nonzero_count"), F.asc("fidx"))
+    )

@@ -131,98 +131,61 @@ def _pm_b(cond: Column) -> list[Column]:
     return [native.pm(cond)]
 
 
-def _per_update_builders(res: Resources) -> dict[str, Callable[[dict], list[Column] | Column]]:
-    """Maps spec name → builder(cols) where cols is a dict of the
-    update-row columns. A builder returns a list of fixed Columns, or
-    for rank-multihot features a single array<int> Column."""
+def _per_update_builders() -> dict[str, Callable[[dict], list[Column] | Column]]:
+    """Maps spec name → builder(ctx). ``ctx`` carries the raw update
+    columns plus ``k`` — the FUSED Python kernel struct
+    (vectorized.content_kernel_udf): one Arrow round-trip computes
+    every non-native metric, builders just project its fields. A
+    builder returns a list of fixed Columns, or for rank-multihot
+    features a single array<int> Column."""
     v = lambda c: c["value"]  # noqa: E731
-
-    def same_site(c):
-        return native.one_hot(c["same_site"], ["no_restriction", "lax", "strict"])
-
-    def compressed(c):
-        # compressed size + reduction (processor.py:1061-1081)
-        raw = F.octet_length(F.coalesce(F.try_url_decode(v(c)), v(c)))
-        z = V.zlib_compressed_len(v(c))
-        return [z.cast("double"), (raw - z).cast("double")]
-
-    def delimiter_sep(c, min_seps=1):
-        # 9-wide: chosen delimiter slot = token count, others −1
-        # (processor.py:1116-1130)
-        sniff = V.csv_sniff_udf(min_seps=min_seps)(v(c))
-        out = []
-        for i in range(len(V.DELIMITERS)):
-            out.append(
-                F.when(sniff["delim_idx"] == i, sniff["num_tokens"].cast("double"))
-                .otherwise(F.lit(-1.0))
-            )
-        return out
-
-    def csv_contents(c, min_seps=2):
-        s = V.csv_content_udf(min_seps=min_seps)(v(c))
-        return [s[f] for f in ["csv_num", "csv_hex", "csv_alpha", "csv_alnum", "csv_bool"]]
-
-    def js_contents(c):
-        s = V.js_content_udf(v(c))
-        return [s[f] for f in V.JS_CONTENT_FIELDS]
-
-    def b64(c):
-        return [native.pm(V.base64_valid(v(c)))]
-
-    def js_obj(c):
-        # fast regex path on url-decoded value; base64 fallback covered
-        # by the decoded check (processor.py:1148-1162, utils.py:81-94)
-        dec = F.coalesce(F.try_url_decode(v(c)), v(c))
-        return [native.pm(dec.rlike(r"^\{.*\}$"))]
-
-    def eng_terms(c):
-        return V.regex_ranks_udf(res.content_terms, mode="search", url_decode=True)(v(c))
-
-    def str_cls(kind, extra=None):
-        def b(c):
-            base = V.str_class_udf(kind)(v(c))
-            return [base if extra is None else extra(base, c)]
-        return b
-
-    def hex_content(c):
-        # all-hex AND not unicode-numeric (processor.py:1317-1326)
-        dec = F.coalesce(F.try_url_decode(v(c)), v(c))
-        isnum = V.str_class_udf("numeric")(v(c))
-        return [native.pm(dec.rlike(r"^[0-9a-fA-F]+$") & (isnum == -1.0))]
-
-    def is_ident(c):
-        # identifier AND NOT alpha AND NOT numeric (processor.py:1339-1350)
-        ident = V.str_class_udf("identifier")(v(c))
-        alpha = V.str_class_udf("alpha")(v(c))
-        num = V.str_class_udf("numeric")(v(c))
-        return [native.pm((ident == 1.0) & (alpha == -1.0) & (num == -1.0))]
+    k = lambda c: c["k"]  # noqa: E731
 
     def decoded(c):
         return F.coalesce(F.try_url_decode(v(c)), v(c))
+
+    def compressed(c):
+        # compressed size + reduction (processor.py:1061-1081)
+        raw = F.octet_length(decoded(c))
+        return [k(c)["zlib_len"], (raw - k(c)["zlib_len"]).cast("double")]
+
+    def delimiter_sep(c):
+        # 9-wide: chosen delimiter slot = token count, others −1
+        # (processor.py:1116-1130)
+        return [
+            F.when(k(c)["delim_idx"] == i, k(c)["num_tokens"].cast("double"))
+            .otherwise(F.lit(-1.0))
+            for i in range(len(V.DELIMITERS))
+        ]
 
     return {
         "http_only": lambda c: [native.pm_flag(c["http_only"])],
         "secure": lambda c: [native.pm_flag(c["secure"])],
         "session": lambda c: [native.pm_flag(c["session"])],
-        "same_site": same_site,
+        "same_site": lambda c: native.one_hot(c["same_site"], ["no_restriction", "lax", "strict"]),
         "expiry": lambda c: [c["expiry"].cast("double")],
         "expiry_extra": lambda c: native.expiry_buckets(c["expiry"]),
         "content_length": lambda c: [native.content_length(v(c))],
         "compressed_length": compressed,
-        "shannon_entropy": lambda c: [V.shannon_entropy(v(c))],
+        "shannon_entropy": lambda c: [k(c)["entropy"]],
         "url_encoding": lambda c: [native.url_encoded(v(c))],
         "delimiter_sep": delimiter_sep,
-        "base64_encoded": b64,
-        "contains_js_obj": js_obj,
-        "content_eng_terms": eng_terms,
-        "csv_contents": csv_contents,
-        "js_contents": js_contents,
-        "numerical_content": str_cls("numeric"),
-        "hex_content": hex_content,
-        "alpha_content": str_cls("alpha"),
-        "is_identifier": is_ident,
-        "all_uppercase": str_cls("upper"),
-        "all_lowercase": str_cls("lower"),
+        "base64_encoded": lambda c: [native.pm(k(c)["b64_valid"])],
+        # fast regex path on url-decoded value (processor.py:1148-1162)
+        "contains_js_obj": lambda c: [native.pm(decoded(c).rlike(r"^\{.*\}$"))],
+        "content_eng_terms": lambda c: k(c)["term_ranks"],
+        "csv_contents": lambda c: [k(c)[f] for f in
+                                   ["csv_num", "csv_hex", "csv_alpha", "csv_alnum", "csv_bool"]],
+        "js_contents": lambda c: [k(c)[f] for f in V.JS_CONTENT_FIELDS],
+        "numerical_content": lambda c: [k(c)["is_numeric"]],
+        # all-hex AND not unicode-numeric (processor.py:1317-1326)
+        "hex_content": lambda c: [
+            native.pm(decoded(c).rlike(r"^[0-9a-fA-F]+$") & (k(c)["is_numeric"] == -1.0))
+        ],
+        "alpha_content": lambda c: [k(c)["is_alpha"]],
+        "is_identifier": lambda c: [k(c)["is_ident"]],
+        "all_uppercase": lambda c: [k(c)["is_upper"]],
+        "all_lowercase": lambda c: [k(c)["is_lower"]],
         "empty_content": lambda c: [native.empty_content(v(c))],
         "boolean_content": lambda c: [native.pm(F.lower(decoded(c)).rlike(native.BOOLEAN_PAT))],
         "timestamp_content": lambda c: [native.pm(decoded(c).rlike(native.TIMESTAMP_PAT))],
@@ -269,69 +232,85 @@ def compile_features(
             keep = F.pmod(F.xxhash64(F.col(entity_col)), F.lit(skip_sample_mod)) == 0
             df = df.filter(~cmp_name | keep)
 
-    builders = _per_update_builders(res)
+    builders = _per_update_builders()
     w = Window.partitionBy(entity_col).orderBy("ts", "update_idx")
 
     # ---- stage 0 (PRE-shuffle): every row-local projection — all 28
-    # per-update feature blocks and the per-entity sequence metrics.
-    # Pandas-UDF nodes (ArrowEvalPython) do not report an
-    # outputPartitioning, so any UDF placed between the Window and the
-    # groupBy would force a second full exchange; below the window
-    # shuffle they cost nothing extra. The only pair-dependent Python
-    # kernel (gestalt) runs POST-aggregation over collected value
-    # arrays (one row per entity), keeping the plan at exactly one
-    # entity exchange.
-    proj = df
+    # per-update feature blocks and the per-entity sequence metrics —
+    # built as TWO single select()s (a withColumn per feature means a
+    # py4j analysis round-trip each; ~120 of them cost ~10s of serial
+    # driver time per job). Pandas-UDF nodes (ArrowEvalPython) do not
+    # report an outputPartitioning, so any UDF placed between the
+    # Window and the groupBy would force a second full exchange; below
+    # the window shuffle they cost nothing extra. The only
+    # pair-dependent Python kernel (gestalt) runs POST-aggregation
+    # over collected value arrays (one row per entity), keeping the
+    # plan at exactly one entity exchange.
+    delim_ms = next((s.args.get("min_seps", 1) for s in schema.per_update
+                     if s.name == "delimiter_sep"), 1)
+    csv_ms = next((s.args.get("min_seps", 2) for s in schema.per_update
+                   if s.name == "csv_contents"), 2)
+    kernel = V.content_kernel_udf(
+        res.content_terms, delim_min_seps=delim_ms, csv_min_seps=csv_ms
+    )
+    staged = df.select("*", kernel(F.col("value")).alias("__k"))
+
     colmap = {
         "value": F.col("value"), "expiry": F.col("expiry"),
         "http_only": F.col("http_only"), "secure": F.col("secure"),
         "session": F.col("session"), "same_site": F.col("same_site"),
-        "host_only": F.col("host_only"),
+        "host_only": F.col("host_only"), "k": F.col("__k"),
     }
+    stage0_cols: list[Column] = []
     upd_cols: dict[str, list[str] | str] = {}
     for spec in schema.per_update:
         if not spec.enabled:
             continue
-        built = builders[spec.name](colmap, **spec.args) if spec.args else builders[spec.name](colmap)
+        built = builders[spec.name](colmap)
         if spec.name in RANK_FEATURES:
             cname = f"u__{spec.name}"
-            proj = proj.withColumn(cname, built)
+            stage0_cols.append(built.alias(cname))
             upd_cols[spec.name] = cname
         else:
             assert len(built) == spec.vector_size, spec.name
             cnames = []
             for i, col in enumerate(built):
                 cname = f"u__{spec.name}__{i}"
-                proj = proj.withColumn(cname, col.cast("double"))
+                stage0_cols.append(col.cast("double").alias(cname))
                 cnames.append(cname)
             upd_cols[spec.name] = cnames
 
-    proj = proj.withColumn("__byte_len", F.octet_length("value").cast("double"))
-    proj = proj.withColumn("__zlib_len", V.zlib_compressed_len("value").cast("double"))
-    proj = proj.withColumn("__entropy", V.shannon_entropy("value"))
+    stage0_cols += [
+        F.octet_length("value").cast("double").alias("__byte_len"),
+        F.col("__k")["zlib_len"].alias("__zlib_len"),
+        F.col("__k")["entropy"].alias("__entropy"),
+    ]
+    proj = staged.select("*", *stage0_cols)
 
     # ---- stage 1 (the ONE shuffle): window lag columns + change
     # flags + slot ranks — native expressions only from here to the
     # aggregate, so the groupBy reuses the window's partitioning.
-    proj = proj.withColumn("__slot", F.row_number().over(w) - F.lit(1))
-    proj = proj.withColumn("__prev_value", F.lag("value").over(w))
-    proj = proj.withColumn("__prev_expiry", F.lag("expiry").over(w))
-    # consecutive-change flags via the SAME window. (count_distinct
-    # would be algebraically equivalent for non-null sequences, but N
-    # distinct aggs compile to an Expand + an extra shuffle on
-    # (entity, col, gid) — lag flags keep the plan at one exchange.)
+    # (count_distinct change flags would be algebraically equivalent
+    # for non-null sequences, but N distinct aggs compile to an Expand
+    # + an extra shuffle on (entity, col, gid) — lag flags keep the
+    # plan at one exchange.)
+    prev_value = F.lag("value").over(w)
+    prev_expiry = F.lag("expiry").over(w)
+    window_cols = [
+        (F.row_number().over(w) - F.lit(1)).alias("__slot"),
+        prev_value.alias("__prev_value"),
+        prev_expiry.alias("__prev_expiry"),
+        (F.col("expiry") - prev_expiry).cast("double").alias("d__time_difference"),
+        F.when(prev_value.isNotNull(), F.levenshtein(prev_value, F.col("value")).cast("double"))
+        .alias("d__lev_distance"),
+    ]
     for flag in ("http_only", "secure", "same_site", "session"):
         prev = F.lag(flag).over(w)
-        proj = proj.withColumn(
-            f"__chg_{flag}",
-            F.when(prev.isNotNull() & (F.col(flag) != prev), 1).otherwise(0),
+        window_cols.append(
+            F.when(prev.isNotNull() & (F.col(flag) != prev), 1).otherwise(0)
+            .alias(f"__chg_{flag}")
         )
-
-    # per-diff raw metrics (slot d = diff between update d and d+1);
-    # gestalt is handled post-agg (see above)
-    proj = proj.withColumn("d__time_difference", (F.col("expiry") - F.col("__prev_expiry")).cast("double"))
-    proj = proj.withColumn("d__lev_distance", F.when(
-        F.col("__prev_value").isNotNull(), F.levenshtein("__prev_value", "value").cast("double")))
+    proj = proj.select("*", *window_cols)
 
     # ---- stage 2: single groupBy(entity): slot pivots + aggregates
     aggs: list[Column] = []

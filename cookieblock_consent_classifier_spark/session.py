@@ -24,11 +24,20 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # our post-shuffle stages are CPU-bound (feature kernels, sparse
+    # assembly), not IO-bound: the 64 MB default advisory size makes
+    # AQE coalesce them below core count on mid-size inputs; 16 MB
+    # keeps parallelism without meaningfully hurting task overhead.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # 128 MB input splits: good parquet scan granularity at any scale.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # local mode = driver-only JVM: driver memory IS executor memory
+    # (must be set before JVM launch; ignored on a real cluster where
+    # spark-submit provides it)
+    "spark.driver.memory": "48g",
     "spark.ui.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
 }

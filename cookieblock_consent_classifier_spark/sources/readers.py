@@ -45,6 +45,17 @@ def read_entity_updates(spark: SparkSession, paths: Sequence[str], fmt: str = "p
     return reader.load(list(paths))
 
 
+def read_libsvm(spark: SparkSession, path: str, num_features: int | None = None) -> DataFrame:
+    """LibSVM matrix load (classifiers/utils.py:39-82 load_data path
+    for .libsvm inputs): returns (label double, features mllib
+    SparseVector). numFeatures pins the width so partial files stay
+    schema-stable."""
+    reader = spark.read.format("libsvm")
+    if num_features:
+        reader = reader.option("numFeatures", str(num_features))
+    return reader.load(path)
+
+
 def union_latest_wins(
     dfs: Sequence[DataFrame], key_cols: Sequence[str], precedence_col: str = "__src_rank"
 ) -> DataFrame:

@@ -1,0 +1,86 @@
+"""Inference dataflow: scoring stub, bayesian decision, predictions
+sink, histogram, feature-usage stats, libsvm reader."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cookieblock_consent_classifier_spark import predict as P, sinks
+from cookieblock_consent_classifier_spark.plans.assemble import feature_usage_stats
+from cookieblock_consent_classifier_spark.plans.compiler import compile_features, default_schema
+from cookieblock_consent_classifier_spark.sources.readers import read_libsvm
+from cookieblock_consent_classifier_spark.sources.resources import fixture_resources
+from cookieblock_consent_classifier_spark.sources.synth import synth_cookie_updates
+
+
+@pytest.fixture(scope="module")
+def assembled(spark):
+    res = fixture_resources()
+    df = synth_cookie_updates(spark, num_entities=30, updates_per_entity=3)
+    wide, names = compile_features(df, default_schema(res), res, training=False)
+    return wide.cache(), names, df
+
+
+def test_predict_no_filter_keeps_all_entities(assembled):
+    wide, _, df = assembled
+    assert wide.count() == df.select("entity_id").distinct().count()
+
+
+def test_probs_sum_to_one_and_decision_in_range(assembled):
+    wide, _, _ = assembled
+    pred = P.predict(wide)
+    rows = pred.select("probs", "predicted_label").collect()
+    for r in rows:
+        assert sum(r["probs"]) == pytest.approx(1.0)
+        assert 0 <= r["predicted_label"] <= 3
+
+
+def test_bayesian_decision_known_cases(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0, 0.0, 0.0],), ([0.0, 0.0, 0.0, 1.0],), ([0.25, 0.25, 0.25, 0.25],)],
+        ["probs"],
+    )
+    got = [r["d"] for r in df.select(P.bayesian_decision(F.col("probs")).alias("d")).collect()]
+    # certain class 0 -> 0; certain class 3 -> 3; uniform -> middle
+    # classes minimize distance loss, lowest index on tie -> 1
+    assert got == [0, 3, 1]
+
+
+def test_predictions_json_roundtrip(spark, assembled, tmp_path):
+    wide, _, df = assembled
+    pred = P.predict(wide)
+    P.write_predictions_json(pred, str(tmp_path / "preds"))
+    back = spark.read.json(str(tmp_path / "preds"))
+    assert back.count() == wide.count()
+    assert set(back.columns) == {"entity_id", "predicted_label"}
+
+
+def test_consent_histogram(spark, assembled):
+    wide, _, df = assembled
+    pred = P.predict(wide)
+    hist = P.consent_histogram(pred, df, "cookie_1")
+    n_matching = df.filter(F.col("name").startswith("cookie_1")) \
+        .select("entity_id").distinct().count()
+    assert hist.agg(F.sum("n")).first()[0] == n_matching
+
+
+def test_feature_usage_stats(assembled):
+    wide, names, _ = assembled
+    stats = feature_usage_stats(wide, names)
+    rows = stats.collect()
+    assert all(r["nonzero_count"] >= 1 for r in rows)
+    assert all(r["feature"] in names for r in rows)
+    # update_count fires for every entity
+    by = {r["feature"]: r["nonzero_count"] for r in rows}
+    assert by["update_count"] == wide.count()
+
+
+def test_libsvm_reader_roundtrip(spark, assembled, tmp_path):
+    wide, names, _ = assembled
+    sinks.write_libsvm(wide, str(tmp_path / "svm"))
+    back = read_libsvm(spark, str(tmp_path / "svm"), num_features=len(names))
+    assert back.count() == wide.count()
+    assert set(back.columns) == {"label", "features"}
+    r = back.first()
+    assert r["features"].size == len(names)
