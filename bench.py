@@ -54,8 +54,11 @@ def main() -> None:
     )
     qs = entrymod.queries()
 
+    # warm-up: JIT, codegen cache, Arrow worker pool — otherwise the
+    # first timed query absorbs ~2s of one-time JVM cost
+    qs["tpch_q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
-    total_rows = 0
     t_all = time.perf_counter()
     for name in BENCH_QUERIES:
         df = qs[name](spark, sf_dir)
