@@ -1153,6 +1153,68 @@ def q_lang_id(spark, sf_dir):
 # verdict; semantics unit-tested in tests/ instead)
 # =====================================================================
 
+@_q(
+    "embedding_near_dup",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             round(list_dot_product(a.e, b.e) /
+                   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cos_sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT a, b, cos_sim FROM p WHERE cos_sim >= 0.4
+    """,
+)
+def q_embedding_near_dup(spark, sf_dir):
+    """embedding-cosine near-duplicate pairs (exact threshold scan —
+    the verification path; the LSH-bucketed candidate path is
+    ann_lsh_topk/lsh_candidates)."""
+    from cookieblock_consent_classifier_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    return pairs.select(
+        "a", "b", F.round(cosine(F.col("ea"), F.col("eb")), 4).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= 0.4)
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(string_split_regex({_NORM_SQL.format(c='text')}, '\\s+')) - 2),
+               i -> string_split_regex({_NORM_SQL.format(c='text')}, '\\s+')[i] || ' ' ||
+                    string_split_regex({_NORM_SQL.format(c='text')}, '\\s+')[i+1] || ' ' ||
+                    string_split_regex({_NORM_SQL.format(c='text')}, '\\s+')[i+2])) AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           round(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+                 THEN len(list_intersect(a.s, b.s))::DOUBLE
+                      / len(list_distinct(list_concat(a.s, b.s)))
+                 END, 6) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """exact word-3-gram Jaccard between consecutive doc pairs (the
+    LSH-candidate verification predicate, oracle-checked)."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("ta"))
+    b = docs.select((F.col("doc_id") - 1).alias("a"), F.col("doc_id").alias("b"),
+                    F.col("text").alias("tb"))
+    pairs = a.join(b, "a")
+    return pairs.select(
+        "a", "b",
+        dedup.ngram_jaccard(F.col("ta"), F.col("tb"), 3).alias("jaccard"),
+    )
+
+
 @_q("entropy_zlib")  # pandas-UDF kernels: no SQL twin
 def q_entropy_zlib(spark, sf_dir):
     """feature_shannon_entropy + feature_compressed_content
