@@ -933,6 +933,29 @@ def q_first_last_per_entity(spark, sf_dir):
 
 
 @_q(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_value_percentiles(spark, sf_dir):
+    """exact interpolated percentiles per group (distribution stats —
+    the validation-stats family, classifiers/utils.py:244-288)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
     "native_delimiter_counts",
     """
     SELECT doc_id,
@@ -1332,6 +1355,18 @@ def q_cookie_feature_pipeline(spark, sf_dir):
         "label",
         F.round("weight", 6).alias("weight"),
     )
+
+
+@_q("ann_ivf_topk")  # IVF routing: approximate by design; rows-only
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors: deterministic centroid
+    sample -> inverted-list assignment -> nprobe-cell probing (the
+    partition-pruned scale path; exactness-vs-bruteforce pinned in
+    tests with nprobe == num_cells)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10),
+                              k=5, num_cells=8, nprobe=2)
+    return out.select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
 @_q("image_pipeline")  # synthesized binary payloads: no SQL twin

@@ -100,6 +100,99 @@ def hyperplane_bucket(
     return bucket
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: each vector → nearest centroid by cosine
+    (broadcast the small centroid table; one scan, no shuffle).
+    Returns corpus columns + ``cell``."""
+    c = centroids.select(
+        F.col("centroid_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(c)).withColumn(
+        "__sim", cosine(F.col(vec_col), F.col("__cvec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__cvec", "__sim", "__rn")
+        .withColumnRenamed("centroid_id", "cell")
+    )
+
+
+def deterministic_centroids(
+    corpus: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic centroid pick: the k corpus vectors with the
+    smallest md5-hash of their id (a uniform pseudo-random but
+    reproducible sample — resumable runs pick identical cells). A
+    Lloyd refinement pass can follow; for ANN routing the sample is
+    usually sufficient."""
+    # distributed top-k by hash (orderBy+limit = TakeOrdered, no global
+    # window over the corpus); the k survivors are tiny, so numbering
+    # them with a single-partition window is free
+    limited = (
+        corpus.select(
+            F.md5(F.col(id_col).cast("string")).alias("__h"), F.col(id_col), F.col(vec_col)
+        )
+        .orderBy("__h", id_col)
+        .limit(k)
+    )
+    w = Window.orderBy("__h", id_col)
+    return limited.withColumn("centroid_id", F.row_number().over(w) - 1).select(
+        "centroid_id", vec_col
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: corpus is partitioned into
+    ``num_cells`` inverted lists; each query scores only the
+    ``nprobe`` nearest cells' members. At scale the assigned corpus is
+    written partitioned by cell, so a probe reads nprobe/num_cells of
+    the data (partition pruning does the rest)."""
+    cents = deterministic_centroids(corpus, num_cells, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+
+    c = cents.select("centroid_id", F.col(vec_col).alias("__cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_cells = (
+        q.crossJoin(F.broadcast(c))
+        .withColumn("__sim", cosine(F.col("q_vec"), F.col("__cvec")))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("centroid_id"))
+            ),
+        )
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "q_vec", F.col("centroid_id").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(q_cells), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("q_vec"), F.col(vec_col)), round_to).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
