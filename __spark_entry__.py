@@ -1397,6 +1397,69 @@ def q_image_pipeline(spark, sf_dir):
 # driver contract
 # =====================================================================
 
+@_q(
+    "session_window_agg",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1e6 >= 1800.0
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id,
+           min(epoch_us(ts)) AS session_start_us,
+           count(*)::BIGINT AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_session_window_agg(spark, sf_dir):
+    """F.session_window gap sessions (the streaming-native operator,
+    streaming/sessionize.py, run in batch mode). NB session_window's
+    window end is EXCLUSIVE: an event at exactly prev+gap starts a NEW
+    session (>= in the oracle), unlike the lag-based batch sessionize
+    (> gap keeps it in-session) — both semantics are oracle-pinned."""
+    from cookieblock_consent_classifier_spark.streaming.sessionize import streaming_sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    out = streaming_sessionize(ev, "user_id", "ts", 1800, watermark="365 days")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+@_q("predict_pipeline")  # scorer stub is engine-internal: rows-only
+def q_predict_pipeline(spark, sf_dir):
+    """inference dataflow (predict_class.py analogue): no-filter
+    extraction -> pluggable scorer -> bayesian loss-matrix decision."""
+    from cookieblock_consent_classifier_spark import predict as P
+    from cookieblock_consent_classifier_spark.plans.compiler import (
+        compile_features, default_schema,
+    )
+    from cookieblock_consent_classifier_spark.sources.resources import fixture_resources
+    from cookieblock_consent_classifier_spark.sources.synth import synth_cookie_updates
+
+    res = fixture_resources()
+    key = ("predict_pipeline", id(spark))
+    cached = _PLAN_CACHE.get(key)
+    if cached is None:
+        df = synth_cookie_updates(spark, num_entities=300, updates_per_entity=3)
+        wide, _ = compile_features(df, default_schema(res), res, training=False)
+        cached = P.predict(wide)
+        _PLAN_CACHE[key] = cached
+    return cached.select(
+        "entity_id", "predicted_label",
+        F.round(F.element_at("probs", 1), 6).alias("p0"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: composite per-entity feature extraction over
     sf0.001 events — sessionize + as-of order state + lag diffs +
