@@ -308,25 +308,24 @@ def q_content_flags(spark, sf_dir):
     "expiry_buckets",
     """
     SELECT event_id,
-           CASE WHEN value * 10000 <= 3600.0 THEN 1.0 ELSE 0.0 END AS b0,
-           CASE WHEN value * 10000 >= 3600.0 AND value * 10000 <= 43200.0 THEN 1.0 ELSE 0.0 END AS b1,
-           CASE WHEN value * 10000 >= 43200.0 AND value * 10000 <= 86400.0 THEN 1.0 ELSE 0.0 END AS b2,
-           CASE WHEN value * 10000 >= 86400.0 AND value * 10000 <= 604800.0 THEN 1.0 ELSE 0.0 END AS b3,
-           CASE WHEN value * 10000 >= 604800.0 AND value * 10000 <= 2592000.0 THEN 1.0 ELSE 0.0 END AS b4,
-           CASE WHEN value * 10000 >= 2592000.0 AND value * 10000 <= 15552000.0 THEN 1.0 ELSE 0.0 END AS b5,
-           CASE WHEN value * 10000 >= 15552000.0 AND value * 10000 <= 46656000.0 THEN 1.0 ELSE 0.0 END AS b6,
-           CASE WHEN value * 10000 >= 46656000.0 THEN 1.0 ELSE 0.0 END AS b7
+           CASE WHEN value * 10000 < 3600.0 THEN 1.0 ELSE -1.0 END AS b0,
+           CASE WHEN value * 10000 >= 3600.0 AND value * 10000 <= 43200.0 THEN 1.0 ELSE -1.0 END AS b1,
+           CASE WHEN value * 10000 >= 43200.0 AND value * 10000 <= 86400.0 THEN 1.0 ELSE -1.0 END AS b2,
+           CASE WHEN value * 10000 >= 86400.0 AND value * 10000 <= 604800.0 THEN 1.0 ELSE -1.0 END AS b3,
+           CASE WHEN value * 10000 >= 604800.0 AND value * 10000 <= 2592000.0 THEN 1.0 ELSE -1.0 END AS b4,
+           CASE WHEN value * 10000 >= 2592000.0 AND value * 10000 <= 15552000.0 THEN 1.0 ELSE -1.0 END AS b5,
+           CASE WHEN value * 10000 >= 15552000.0 AND value * 10000 <= 46656000.0 THEN 1.0 ELSE -1.0 END AS b6,
+           CASE WHEN value * 10000 >= 46656000.0 THEN 1.0 ELSE -1.0 END AS b7
     FROM events
     """,
 )
 def q_expiry_buckets(spark, sf_dir):
-    """feature_expiry_extra overlapping buckets (processor.py:
-    1029-1050) over a pseudo-expiry derived from events.value."""
+    """feature_expiry_extra buckets (processor.py:1029-1050): dense ±1,
+    bucket 0 strict upper, interior boundaries overlapping — over a
+    pseudo-expiry derived from events.value."""
     ev = _t(spark, sf_dir, "events").withColumn("exp_s", F.col("value") * 10000)
     cols = native.expiry_buckets("exp_s")
-    return ev.select(
-        "event_id", *[F.coalesce(c, F.lit(0.0)).alias(f"b{i}") for i, c in enumerate(cols)]
-    )
+    return ev.select("event_id", *[c.alias(f"b{i}") for i, c in enumerate(cols)])
 
 
 @_q(
@@ -472,12 +471,16 @@ def q_content_length_stats(spark, sf_dir):
 )
 def q_label_weights(spark, sf_dir):
     """inverse-class-frequency weights n_total/n_class
-    (retrieve_label_weights, processor.py:263-273)."""
+    (retrieve_label_weights, processor.py:263-273). The total comes
+    from a tiny agg + broadcast crossJoin (same shape as
+    plans/assemble.py:61-73) — no eager count() at plan-build time,
+    no second scan of the fact table."""
     emb = _t(spark, sf_dir, "embeddings")
-    total = emb.count()
-    return emb.groupBy("label").agg(
-        F.count("*").alias("n"),
-        F.round(F.lit(float(total)) / F.count("*"), 6).alias("weight"),
+    counts = emb.groupBy("label").agg(F.count("*").alias("n"))
+    totals = counts.agg(F.sum("n").alias("__total"))
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "label", "n",
+        F.round(F.col("__total").cast("double") / F.col("n"), 6).alias("weight"),
     )
 
 

@@ -49,12 +49,14 @@ def one_hot(col: str | Column, categories: list[str]) -> list[Column]:
 # Expiry bucket boundaries in seconds. NB the reference's predicates
 # OVERLAP at exact boundaries — both adjacent buckets fire when expiry
 # equals a boundary (processor.py:1036-1050: `<=` upper AND `>=` lower
-# on consecutive buckets). We preserve that exactly.
+# on consecutive buckets) — EXCEPT bucket 0, whose upper bound is
+# strict (`expiry < 3600`, processor.py:1036). Every bucket inserts an
+# explicit ±1 (dense, not sparse-absent). We preserve all of that.
 _HOUR = 3600.0
 _DAY = 24 * _HOUR
 _MONTH = 30 * _DAY
 EXPIRY_BUCKETS: list[tuple[float, float]] = [
-    (float("-inf"), _HOUR),          # < 1 hour
+    (float("-inf"), _HOUR),          # < 1 hour (strict upper)
     (_HOUR, 12 * _HOUR),             # 1-12 hours
     (12 * _HOUR, _DAY),              # 12-24 hours
     (_DAY, 7 * _DAY),                # 1-7 days
@@ -67,17 +69,17 @@ EXPIRY_BUCKETS: list[tuple[float, float]] = [
 
 def expiry_buckets(col: str | Column) -> list[Column]:
     """8 overlapping range indicators (feature_expiry_extra,
-    processor.py:1029-1050); fired bucket → 1.0, else absent (null)."""
+    processor.py:1029-1050); fired bucket → 1.0, unfired → −1.0."""
     c = _c(col).cast("double")
     out = []
     for lo, hi in EXPIRY_BUCKETS:
         if lo == float("-inf"):
-            cond = c <= F.lit(hi)
+            cond = c < F.lit(hi)  # bucket 0 is strict (processor.py:1036)
         elif hi == float("inf"):
             cond = c >= F.lit(lo)
         else:
             cond = (c >= F.lit(lo)) & (c <= F.lit(hi))
-        out.append(F.when(cond, PLUS()))
+        out.append(pm(cond))
     return out
 
 
@@ -256,11 +258,13 @@ def is_third_party(domain_col: str | Column, site_col: str | Column) -> Column:
 
 
 def uniform_domain(col: str | Column) -> Column:
-    """url_to_uniform_domain (utils.py:19-30): strip scheme, leading
-    www./dot, trailing slash."""
-    c = _c(col)
-    c = F.regexp_replace(c, r"^(https?|wss?)://", "")
-    c = F.regexp_replace(c, r"^(www([2-9])?)?\.", "")
+    """url_to_uniform_domain (utils.py:19-30), reference-exact order:
+    strip() → ^http(s):// → ^www([0-9])? (NO dot required — a single
+    optional digit; 'wwwfoo.com' → 'foo.com') → ^. → trailing /.
+    No wss:// stripping — the reference does not perform it."""
+    c = F.trim(_c(col))
+    c = F.regexp_replace(c, r"^http(s)?://", "")
+    c = F.regexp_replace(c, r"^www([0-9])?", "")
     c = F.regexp_replace(c, r"^\.", "")
     c = F.regexp_replace(c, r"/$", "")
     return c

@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from cookieblock_consent_classifier_spark.functions.jsparse import try_split_json_like
+
 
 # ---------------------------------------------------------------------------
 # scalar twins (test oracles + single source of the semantics)
@@ -61,57 +63,62 @@ def _py_gestalt(a: str | None, b: str | None) -> float | None:
     return difflib.SequenceMatcher(None, a, b).ratio()
 
 
-def _py_b64_valid(s: str | None) -> bool | None:
-    """Strict base64 validity (feature_base64_encoded,
-    processor.py:1133-1146): b64decode(validate=True) succeeds."""
-    if s is None:
-        return None
+def _py_b64_decodable(dec: str) -> bool:
+    """feature_base64_encoded core (processor.py:1133-1146): the
+    reference calls ``base64.b64decode(unquoted)`` WITHOUT
+    validate=True — non-alphabet characters are silently discarded and
+    only residual length/padding errors reject. Operates on the
+    already-URL-decoded content."""
     try:
-        base64.b64decode(s, validate=True)
+        base64.b64decode(dec)
         return True
-    except Exception:
+    except (base64.binascii.Error, ValueError):
         return False
 
 
-def _py_json_object(s: str | None) -> dict | None:
-    """Lenient JSON-object parse used by feature_js_content
-    (processor.py:1215-1303 via utils.py:97-111). The reference falls
-    back to js2py JS-literal evaluation; we implement a bounded lenient
-    pass (strip trailing commas, single→double quotes on keys) instead
-    of shipping a JS interpreter — divergences are covered by parity
-    tests on the fixture corpus."""
+def _py_b64_valid(s: str | None) -> bool | None:
+    """feature_base64_encoded (processor.py:1133-1146): URL-decode,
+    then lenient b64decode (see _py_b64_decodable)."""
     if s is None:
         return None
-    for candidate in (s, unquote(s)):
-        txt = candidate.strip()
-        if not (txt.startswith("{") and txt.endswith("}")):
-            continue
-        try:
-            obj = json.loads(txt)
-            return obj if isinstance(obj, dict) else None
-        except Exception:
-            pass
-    # base64-encoded JSON fallback (utils.py:81-94)
-    try:
-        dec = base64.b64decode(s, validate=True).decode("utf-8")
-        txt = dec.strip()
-        if txt.startswith("{") and txt.endswith("}"):
-            obj = json.loads(txt)
-            return obj if isinstance(obj, dict) else None
-    except Exception:
-        pass
+    return _py_b64_decodable(unquote(s))
+
+
+def _py_js_parse(txt: str):
+    """Parsed JS/JSON value per feature_js_content's gating
+    (processor.py:1215-1235): only attempt when '{' present; fall back
+    to base64-decode + re-check (try_decode_base64, utils.py:81-94).
+    try_split_json's js2py fallback is the bounded JS-literal parser
+    (functions/jsparse.py). Returns ANY parsed value (dict/list/str)
+    or None — the reference uses len() of non-dict results too."""
+    if "{" in txt:
+        return try_split_json_like(txt)
+    dec = _py_b64_decode(txt)
+    if dec and "{" in dec:
+        return try_split_json_like(dec)
     return None
+
+
+def _py_json_object(s: str | None) -> dict | None:
+    """Engine convenience API: the parsed object of feature_js_content
+    when (and only when) it is a dict; None otherwise. Input is the
+    raw value (URL-decoded internally, like the reference)."""
+    if s is None:
+        return None
+    obj = _py_js_parse(unquote(s))
+    return obj if isinstance(obj, dict) else None
 
 
 # str-class predicates: Python unicode semantics (str.isnumeric etc.)
 # differ from any regex approximation (processor.py:1305-1374) — these
-# must run in Python.
+# must run in Python. 'identifier' excludes pure-alpha/pure-numeric
+# strings (feature_is_identifier, processor.py:1339-1345).
 _STR_CLASSES = {
     "numeric": lambda v: v.isnumeric(),
     "alpha": lambda v: v.isalpha(),
     "upper": lambda v: v.isupper(),
     "lower": lambda v: v.islower(),
-    "identifier": lambda v: v.isidentifier(),
+    "identifier": lambda v: v.isidentifier() and not v.isalpha() and not v.isnumeric(),
 }
 
 
@@ -200,11 +207,12 @@ def str_class_udf(kind: str):
 
 @pandas_udf(T.IntegerType())
 def js_content_len(s: pd.Series) -> pd.Series:
-    """len(parsed object) or null if not a JS/JSON object
-    (feature_js_content slot 0, processor.py:1215-1303)."""
+    """len(parsed JS/JSON value) or null when unparseable
+    (feature_js_content slot 0, processor.py:1288-1291 — the reference
+    takes len() of ANY non-None parse, including lists and strings)."""
 
     def one(v):
-        obj = _py_json_object(v)
+        obj = _py_js_parse(unquote(v))
         return None if obj is None else len(obj)
 
     return s.map(one, na_action="ignore").astype("Int32")
@@ -335,23 +343,17 @@ def csv_content_udf(min_seps: int = 2):
 
 def _py_js_content(v: str | None):
     """feature_js_content (processor.py:1215-1303): 11-wide vector —
-    len(dict) (or −1), then ±1 flags: id-key, bool, num, string, alpha,
-    alnum, subobject, list, none, hex. The reference's js2py fallback
-    for JS literals is replaced by strict json.loads (the bounded
-    lenient pass lives in _py_json_object; parity covered by fixture
-    tests)."""
+    len(parsed value) (or −1), then ±1 flags: id-key, bool, num,
+    string, alpha, alnum, subobject, list, none, hex. Slot 0 uses
+    len() of ANY successful parse (dict, list or string —
+    processor.py:1288-1291); the type flags apply to dicts only. The
+    js2py fallback is the bounded JS-literal parser
+    (functions/jsparse.py)."""
     import re
 
     if v is None:
         return None
-    txt = unquote(v)
-    data = None
-    if "{" in txt:
-        data = _try_json_dict(txt)
-    else:
-        dec = _py_b64_decode(txt)
-        if dec and "{" in dec:
-            data = _try_json_dict(dec)
+    data = _py_js_parse(unquote(v))
 
     flags = dict.fromkeys(
         ["id", "bool", "num", "str", "alpha", "alnum", "sub", "list", "none", "hex"], False
@@ -392,14 +394,6 @@ def _py_js_content(v: str | None):
     return (length, *[1.0 if flags[k] else -1.0 for k in order])
 
 
-def _try_json_dict(txt: str):
-    try:
-        obj = json.loads(txt)
-        return obj if isinstance(obj, dict) else None
-    except Exception:
-        return None
-
-
 JS_CONTENT_FIELDS = [
     "js_len", "js_id", "js_bool", "js_num", "js_str", "js_alpha",
     "js_alnum", "js_sub", "js_list", "js_none", "js_hex",
@@ -428,9 +422,20 @@ def content_kernel_udf(content_terms: list[str], delimiters: str = DELIMITERS,
 
     fields = (
         [
+            # `dec` is THE url-decoded value (urllib.parse.unquote
+            # semantics). Downstream native rlike/compare expressions
+            # consume this field rather than F.try_url_decode, whose
+            # Java URLDecoder decodes '+' as space and NULLs out any
+            # malformed %-escape — both diverge from Python unquote
+            # (the reference decodes with unquote everywhere).
+            T.StructField("dec", T.StringType()),
+            T.StructField("dec_len", T.DoubleType()),  # utf-8 bytes of dec
             T.StructField("zlib_len", T.DoubleType()),
             T.StructField("entropy", T.DoubleType()),
             T.StructField("b64_valid", T.BooleanType()),
+            T.StructField("is_empty", T.DoubleType()),
+            T.StructField("js_obj", T.DoubleType()),
+            T.StructField("bool_content", T.DoubleType()),
             T.StructField("is_numeric", T.DoubleType()),
             T.StructField("is_alpha", T.DoubleType()),
             T.StructField("is_upper", T.DoubleType()),
@@ -448,6 +453,8 @@ def content_kernel_udf(content_terms: list[str], delimiters: str = DELIMITERS,
     @pandas_udf(T.StructType(fields))
     def _udf(s: pd.Series) -> pd.DataFrame:
         terms = [(re.compile(t), i) for i, t in enumerate(content_terms)]
+        js_pat = re.compile(r"^\{.*}$")  # processor.py:175
+        truth = _truth_pat()
 
         def one(v):
             if v is None:
@@ -461,8 +468,20 @@ def content_kernel_udf(content_terms: list[str], delimiters: str = DELIMITERS,
                 cnt = Counter(dec)
                 n = len(dec)
                 ent = -sum((c / n) * math.log2(c / n) for c in cnt.values())
-            b64 = _py_b64_valid(v)
+            b64 = _py_b64_decodable(dec)
             pm = lambda b: 1.0 if b else -1.0  # noqa: E731
+            # feature_empty_content (processor.py:1376-1384): RAW value
+            empty = pm(not v or v.isspace())
+            # feature_contains_javascript_object (processor.py:1148-1162):
+            # shape-regex on dec, else base64-decode dec and re-check
+            if js_pat.search(dec):
+                jso = 1.0
+            else:
+                mb = _py_b64_decode(dec)
+                jso = 1.0 if (mb and js_pat.search(mb)) else -1.0
+            # feature_boolean_content (processor.py:1386-1395): Python
+            # \b is unicode-aware (Java's is ASCII) — keep in Python
+            boolc = pm(truth.search(dec) is not None)
             toks, d = _py_split_delimited(dec, delim_min_seps, delimiters)
             didx = delimiters.index(d) if toks else None
             ntok = len(toks) if toks else None
@@ -470,7 +489,7 @@ def content_kernel_udf(content_terms: list[str], delimiters: str = DELIMITERS,
             jsf = _py_js_content(v)
             ranks = [i for c, i in terms if c.search(dec)]
             return (
-                zl, ent, b64,
+                dec, float(len(enc)), zl, ent, b64, empty, jso, boolc,
                 pm(dec.isnumeric()), pm(dec.isalpha()), pm(dec.isupper()),
                 pm(dec.islower()),
                 pm(dec.isidentifier() and not dec.isalpha() and not dec.isnumeric()),

@@ -142,12 +142,14 @@ def _per_update_builders() -> dict[str, Callable[[dict], list[Column] | Column]]
     k = lambda c: c["k"]  # noqa: E731
 
     def decoded(c):
-        return F.coalesce(F.try_url_decode(v(c)), v(c))
+        # Python-unquote semantics from the fused kernel — NOT
+        # F.try_url_decode (Java URLDecoder: '+'→space, malformed
+        # %-escape→NULL; both diverge from the reference's unquote).
+        return k(c)["dec"]
 
     def compressed(c):
         # compressed size + reduction (processor.py:1061-1081)
-        raw = F.octet_length(decoded(c))
-        return [k(c)["zlib_len"], (raw - k(c)["zlib_len"]).cast("double")]
+        return [k(c)["zlib_len"], (k(c)["dec_len"] - k(c)["zlib_len"]).cast("double")]
 
     def delimiter_sep(c):
         # 9-wide: chosen delimiter slot = token count, others −1
@@ -165,14 +167,15 @@ def _per_update_builders() -> dict[str, Callable[[dict], list[Column] | Column]]
         "same_site": lambda c: native.one_hot(c["same_site"], ["no_restriction", "lax", "strict"]),
         "expiry": lambda c: [c["expiry"].cast("double")],
         "expiry_extra": lambda c: native.expiry_buckets(c["expiry"]),
-        "content_length": lambda c: [native.content_length(v(c))],
+        "content_length": lambda c: [k(c)["dec_len"]],
         "compressed_length": compressed,
         "shannon_entropy": lambda c: [k(c)["entropy"]],
-        "url_encoding": lambda c: [native.url_encoded(v(c))],
+        # value != unquote(value) → ±1 (processor.py:1101-1113)
+        "url_encoding": lambda c: [native.pm(v(c) != k(c)["dec"])],
         "delimiter_sep": delimiter_sep,
         "base64_encoded": lambda c: [native.pm(k(c)["b64_valid"])],
-        # fast regex path on url-decoded value (processor.py:1148-1162)
-        "contains_js_obj": lambda c: [native.pm(decoded(c).rlike(r"^\{.*\}$"))],
+        # shape-regex + base64 fallback, in the kernel (processor.py:1148-1162)
+        "contains_js_obj": lambda c: [k(c)["js_obj"]],
         "content_eng_terms": lambda c: k(c)["term_ranks"],
         "csv_contents": lambda c: [k(c)[f] for f in
                                    ["csv_num", "csv_hex", "csv_alpha", "csv_alnum", "csv_bool"]],
@@ -186,8 +189,10 @@ def _per_update_builders() -> dict[str, Callable[[dict], list[Column] | Column]]
         "is_identifier": lambda c: [k(c)["is_ident"]],
         "all_uppercase": lambda c: [k(c)["is_upper"]],
         "all_lowercase": lambda c: [k(c)["is_lower"]],
-        "empty_content": lambda c: [native.empty_content(v(c))],
-        "boolean_content": lambda c: [native.pm(F.lower(decoded(c)).rlike(native.BOOLEAN_PAT))],
+        # raw-value isspace() semantics, in the kernel (processor.py:1376-1384)
+        "empty_content": lambda c: [k(c)["is_empty"]],
+        # Python \b is unicode-aware, Java's is ASCII — kernel field
+        "boolean_content": lambda c: [k(c)["bool_content"]],
         "timestamp_content": lambda c: [native.pm(decoded(c).rlike(native.TIMESTAMP_PAT))],
         "date_content": lambda c: [native.date_content_ref(decoded(c))],
         "contains_uuid": lambda c: native.uuid_version_onehot_ref(decoded(c)),

@@ -131,17 +131,16 @@ class FeatureSchema:
         return self.per_entity_width + self.per_update_width + self.per_diff_width
 
     def feature_names(self) -> list[str]:
-        """Positional feature names, mirroring
-        retrieve_feature_names_as_list (processor.py:276-298):
+        """Positional feature names, matching
+        retrieve_feature_names_as_list (processor.py:276-298) modulo
+        the index prefix and type suffix (see feature_map_lines):
         per-entity `{name}-{i}`, per-update `update_{u}_{name}-{i}`,
-        per-diff `diff_{u}_{name}-{i}`; `-{i}` only when width > 1."""
+        per-diff `diff_{u}_{name}-{i}` — the reference appends `-{i}`
+        even for width-1 blocks, so we do too."""
         out: list[str] = []
 
         def block(spec: FeatureSpec, prefix: str) -> None:
-            if spec.vector_size == 1:
-                out.append(f"{prefix}{spec.name}")
-            else:
-                out.extend(f"{prefix}{spec.name}-{i}" for i in range(spec.vector_size))
+            out.extend(f"{prefix}{spec.name}-{i}" for i in range(spec.vector_size))
 
         # NB feature-major order: the reference iterates each feature
         # across all its update/diff slots before moving to the next
@@ -157,3 +156,10 @@ class FeatureSchema:
                 block(s, f"diff_{d}_")
         assert len(out) == self.total_width
         return out
+
+    def feature_map_lines(self) -> list[str]:
+        """Byte-exact reference feature-map lines
+        (retrieve_feature_names_as_list, processor.py:276-298 /
+        dump_feature_map, :382-391): `"{idx} {name}-{i} i"` — space
+        separators, global column index prefix, type char `i`."""
+        return [f"{idx} {name} i" for idx, name in enumerate(self.feature_names())]

@@ -60,7 +60,11 @@ def write_debug_json(df: DataFrame, feature_names: list[str], path: str, limit: 
 
 
 def write_feature_map(feature_names: list[str], path: str) -> None:
+    """Byte-exact reference fmap (dump_feature_map, processor.py:
+    382-391): each line `{idx} {name}-{i} i` — space-separated, type
+    char `i`. feature_names here are FeatureSchema.feature_names()
+    (already `-{i}`-suffixed); the index prefix is added per line."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w", encoding="utf-8") as fd:
         for i, n in enumerate(feature_names):
-            fd.write(f"{i}\t{n.replace(' ', '_')}\tq\n")
+            fd.write(f"{i} {n} i\n")

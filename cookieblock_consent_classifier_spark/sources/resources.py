@@ -21,6 +21,7 @@ real crawl-derived files through the same loaders.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,27 +37,65 @@ class Resources:
     iab_vendors: frozenset[str]
 
 
+def py_uniform_domain(url: str) -> str:
+    """url_to_uniform_domain (utils.py:19-30), reference-exact Python
+    twin (the native Column version is functions/native.uniform_domain;
+    this one runs at resource-load time and in test oracles)."""
+    u = url.strip()
+    u = re.sub(r"^http(s)?://", "", u)
+    u = re.sub(r"^www([0-9])?", "", u)
+    u = re.sub(r"^\.", "", u)
+    u = re.sub(r"/$", "", u)
+    return u
+
+
 def load_rank_csv(path: str, count: int) -> list[str]:
-    """load_lookup_from_csv (utils.py:33-56): last comma-field is the
-    key; '#' lines skipped; first ``count`` rows keep rank order;
-    raises if the file has fewer entries."""
+    """load_lookup_from_csv (utils.py:33-56), reference-exact: last
+    comma-field of each line is the key; '#'-prefixed lines skipped
+    (blank lines are NOT — the reference keeps them as empty keys);
+    exactly ``count`` entries in file order; raises if the file runs
+    out first."""
     out: list[str] = []
     with open(path, encoding="utf-8") as fd:
         for line in fd:
-            line = line.strip()
-            if not line or line.startswith("#"):
+            if line.startswith("#"):
                 continue
-            out.append(line.rsplit(",", 1)[-1])
+            out.append(line.strip().split(",")[-1])
             if len(out) == count:
                 return out
     raise RuntimeError(f"Not enough entries in {path}: wanted {count}, got {len(out)}")
 
 
+def load_pattern_csv(path: str, count: int) -> list[str]:
+    """setup_pattern_names / setup_name_features / setup_content_terms
+    (processor.py:611-682), reference-exact: last comma-field is the
+    pattern; NO comment skipping (unlike load_rank_csv); exactly
+    ``count`` patterns in file order."""
+    out: list[str] = []
+    with open(path, encoding="utf-8") as fd:
+        for line in fd:
+            out.append(line.strip().split(",")[-1])
+            if len(out) == count:
+                return out
+    raise RuntimeError(f"Not enough patterns in {path}: wanted {count}, got {len(out)}")
+
+
+def load_vendor_txt(path: str) -> frozenset[str]:
+    """setup_iabeurope_vendors (processor.py:653-663): one domain per
+    line, normalized through url_to_uniform_domain at load."""
+    with open(path, encoding="utf-8") as fd:
+        return frozenset(py_uniform_domain(line.strip()) for line in fd)
+
+
 def rank_df(spark: SparkSession, keys: list[str], key_col: str, rank_col: str = "rank") -> DataFrame:
     """Rank table as a DataFrame for broadcast hash joins (rank =
-    position, 0-based, mirroring the reference's dict ranks)."""
+    position, 0-based). Mirrors the reference's dict construction
+    (utils.py:43-54): a duplicate key keeps its LAST rank — critical
+    for join correctness too, since a duplicate key in the build side
+    would fan out the probe rows."""
+    last_wins = {k: i for i, k in enumerate(keys)}
     return spark.createDataFrame(
-        [(k, i) for i, k in enumerate(keys)], [key_col, rank_col]
+        [(k, i) for k, i in last_wins.items()], [key_col, rank_col]
     )
 
 

@@ -67,14 +67,25 @@ def test_zlib_len_matches_python(vals):
 
 
 def test_base64_validity(vals):
+    # feature_base64_encoded (processor.py:1133-1146): lenient decode
+    # (validate=False silently drops non-alphabet chars) on the
+    # URL-DECODED content
     got = collect_col(vals, V.base64_valid("v"))
     for v, g in zip(VALUES, got):
         try:
-            base64.b64decode(v, validate=True)
+            base64.b64decode(unquote(v))
             exp = True
         except Exception:
             exp = False
         assert g == exp, v
+
+
+def test_base64_reference_quirks(spark):
+    # url-encoded padding decodes ('dGVzdA%3D%3D'), embedded spaces are
+    # discarded by the lenient decoder ('dGVz dA==')
+    df = spark.createDataFrame([("dGVzdA%3D%3D",), ("dGVz dA==",), ("a",)], ["v"])
+    got = collect_col(df, V.base64_valid("v"))
+    assert got == [True, True, False]
 
 
 def test_str_classes_unicode_exact(vals):
@@ -83,7 +94,9 @@ def test_str_classes_unicode_exact(vals):
         ("alpha", str.isalpha),
         ("upper", str.isupper),
         ("lower", str.islower),
-        ("identifier", str.isidentifier),
+        # feature_is_identifier (processor.py:1339-1345) excludes
+        # pure-alpha and pure-numeric strings
+        ("identifier", lambda s: s.isidentifier() and not s.isalpha() and not s.isnumeric()),
     ]:
         got = collect_col(vals, V.str_class_udf(kind)("v"))
         for v, g in zip(VALUES, got):
@@ -107,14 +120,18 @@ def test_gestalt_matches_difflib(spark):
         assert g == pytest.approx(difflib.SequenceMatcher(None, a, b).ratio())
 
 
-def test_expiry_buckets_overlap_at_boundary(spark):
-    # at exactly 1 hour BOTH bucket0 (<=1h) and bucket1 (1-12h) fire —
-    # reference overlap semantics (processor.py:1036-1050).
-    df = spark.createDataFrame([(3600,)], ["e"])
+def test_expiry_buckets_boundaries(spark):
+    # reference semantics (processor.py:1029-1050): dense ±1; bucket 0
+    # upper bound is STRICT (< 3600) so at exactly 1h only bucket1
+    # fires, while interior boundaries overlap (both adjacent buckets
+    # fire at exactly 12h).
+    df = spark.createDataFrame([(3600,), (43200,), (100,)], ["e"])
     cols = native.expiry_buckets("e")
-    row = df.select(*[c.alias(f"b{i}") for i, c in enumerate(cols)]).first()
-    assert row["b0"] == 1.0 and row["b1"] == 1.0
-    assert all(row[f"b{i}"] is None for i in range(2, 8))
+    rows = df.select("e", *[c.alias(f"b{i}") for i, c in enumerate(cols)]).collect()
+    by = {r["e"]: [r[f"b{i}"] for i in range(8)] for r in rows}
+    assert by[3600] == [-1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0]
+    assert by[43200] == [-1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0]
+    assert by[100] == [1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0]
 
 
 def test_pm_encoding_true_false(spark):
@@ -169,11 +186,14 @@ def test_url_encoding_and_content_length(spark):
 
 
 def test_uniform_domain(spark):
+    # url_to_uniform_domain (utils.py:19-30): '^www([0-9])?' needs NO
+    # dot — 'wwwfoo.com' loses its www prefix too (reference quirk)
     df = spark.createDataFrame(
-        [("https://www.example.com/",), (".example.com",), ("www3.sub.example.com",)], ["d"]
+        [("https://www.example.com/",), (".example.com",),
+         ("www3.sub.example.com",), ("wwwfoo.com",), (" spaced.com ",)], ["d"]
     )
     got = collect_col(df, native.uniform_domain("d"))
-    assert got == ["example.com", "example.com", "sub.example.com"]
+    assert got == ["example.com", "example.com", "sub.example.com", "foo.com", "spaced.com"]
 
 
 def test_csv_sniffer_parity(spark):

@@ -84,13 +84,25 @@ def _entropy(s):
 
 
 def _uniform_domain(d):
+    # url_to_uniform_domain (utils.py:19-30), reference-exact
     import re
 
-    d = re.sub(r"^(https?|wss?)://", "", d)
-    d = re.sub(r"^(www([2-9])?)?\.", "", d)
+    d = d.strip()
+    d = re.sub(r"^http(s)?://", "", d)
+    d = re.sub(r"^www([0-9])?", "", d)
     d = re.sub(r"^\.", "", d)
     d = re.sub(r"/$", "", d)
     return d
+
+
+def _try_decode_base64(s):
+    # try_decode_base64 (utils.py:81-94)
+    if not isinstance(s, str) or len(s) < 8:
+        return None
+    try:
+        return base64.b64decode(s).decode("utf-8")
+    except Exception:
+        return None
 
 
 def twin_extract(schema, res):
@@ -106,6 +118,8 @@ def twin_extract(schema, res):
         vals: dict[str, float] = {}
 
         def put(key, v):
+            if key not in names:  # width-1 blocks carry a -0 suffix
+                key = f"{key}-0"
             assert key in names, key
             if v is not None:
                 vals[key] = float(v)
@@ -173,12 +187,18 @@ def twin_extract(schema, res):
             for i, cat in enumerate(["no_restriction", "lax", "strict"]):
                 put(f"update_{u}_same_site-{i}", pm(ss == cat))
             put(f"update_{u}_expiry", exp)
+            # feature_expiry_extra (processor.py:1029-1050): dense ±1,
+            # bucket 0 strict upper (< 3600), others inclusive both ends
             bounds = [(None, 3600), (3600, 43200), (43200, 86400), (86400, 604800),
                       (604800, 2592000), (2592000, 15552000), (15552000, 46656000), (46656000, None)]
             for i, (lo, hi) in enumerate(bounds):
-                fire = (lo is None or exp >= lo) and (hi is None or exp <= hi)
-                if fire:
-                    put(f"update_{u}_expiry_extra-{i}", 1.0)
+                if lo is None:
+                    fire = exp < hi
+                elif hi is None:
+                    fire = exp >= lo
+                else:
+                    fire = lo <= exp <= hi
+                put(f"update_{u}_expiry_extra-{i}", pm(fire))
             put(f"update_{u}_content_length", len(dec.encode()))
             z = len(zlib.compress(dec.encode(), 9))
             put(f"update_{u}_compressed_length-0", z)
@@ -190,13 +210,21 @@ def twin_extract(schema, res):
             for i, dd in enumerate(delims):
                 put(f"update_{u}_delimiter_sep-{i}",
                     float(len(toks)) if (toks and dd == d) else -1.0)
+            # feature_base64_encoded (processor.py:1133-1146): lenient
+            # b64decode (no validate) of the URL-DECODED content
             try:
-                base64.b64decode(val, validate=True)
+                base64.b64decode(dec)
                 b64ok = True
             except Exception:
                 b64ok = False
             put(f"update_{u}_base64_encoded", pm(b64ok))
-            put(f"update_{u}_contains_js_obj", pm(re.search(r"^\{.*\}$", dec) is not None))
+            # feature_contains_javascript_object (processor.py:1148-1162):
+            # shape regex on dec, else base64-decode and re-check
+            jso = re.search(r"^\{.*\}$", dec) is not None
+            if not jso:
+                mb = _try_decode_base64(dec)
+                jso = bool(mb and re.search(r"^\{.*\}$", mb))
+            put(f"update_{u}_contains_js_obj", pm(jso))
             for i, term in enumerate(res.content_terms):
                 if re.search(term, dec):
                     put(f"update_{u}_content_eng_terms-{i}", 1.0)
@@ -214,7 +242,8 @@ def twin_extract(schema, res):
                 pm(dec.isidentifier() and not dec.isalpha() and not dec.isnumeric()))
             put(f"update_{u}_all_uppercase", pm(dec.isupper()))
             put(f"update_{u}_all_lowercase", pm(dec.islower()))
-            put(f"update_{u}_empty_content", pm(val.strip() == ""))
+            # feature_empty_content (processor.py:1376-1384): raw value
+            put(f"update_{u}_empty_content", pm(not val or val.isspace()))
             put(f"update_{u}_boolean_content",
                 pm(re.search(r"\b(true|false|yes|no|0|1|on|off)\b", dec, re.IGNORECASE) is not None))
             put(f"update_{u}_timestamp_content", pm(re.search("16[0-9]{8}([0-9]{3})?", dec) is not None))

@@ -73,7 +73,7 @@ def test_feature_usage_stats(assembled):
     assert all(r["feature"] in names for r in rows)
     # update_count fires for every entity
     by = {r["feature"]: r["nonzero_count"] for r in rows}
-    assert by["update_count"] == wide.count()
+    assert by["update_count-0"] == wide.count()
 
 
 def test_libsvm_reader_roundtrip(spark, assembled, tmp_path):
