@@ -32,14 +32,38 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--input", required=True, help="parquet path or synth:<num_entities>")
     ap.add_argument("--output", required=True)
     ap.add_argument("--format", default="parquet", choices=["parquet", "libsvm"])
-    ap.add_argument("--num-updates", type=int, default=1)
-    ap.add_argument("--num-diffs", type=int, default=1)
+    ap.add_argument("--num-updates", type=int, default=None,
+                    help="override num_updates (default: config value, else 1)")
+    ap.add_argument("--num-diffs", type=int, default=None,
+                    help="override num_diffs (default: config value, else 1)")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--features-json", default=None,
+        help="features.json-format config (reference schema shape); "
+        "widths/args/enabled flags and resource files come from it",
+    )
+    ap.add_argument(
+        "--resources-dir", default=None,
+        help="base dir for relative resource paths in --features-json",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="cbcs-extract")
-    res = fixture_resources()
-    schema = default_schema(res, num_updates=args.num_updates, num_diffs=args.num_diffs)
+    if args.features_json:
+        from cookieblock_consent_classifier_spark.sources.config import load_features_config
+
+        schema, res = load_features_config(args.features_json, base_dir=args.resources_dir)
+    else:
+        res = fixture_resources()
+        schema = default_schema(res)
+    if args.num_updates is not None or args.num_diffs is not None:
+        import dataclasses
+
+        schema = dataclasses.replace(
+            schema,
+            num_updates=args.num_updates or schema.num_updates,
+            num_diffs=args.num_diffs or schema.num_diffs,
+        )
 
     ckpt_root = os.path.join(args.output, "_checkpoints")
     if args.no_resume and os.path.exists(ckpt_root):
@@ -48,7 +72,8 @@ def main(argv: list[str] | None = None) -> None:
         shutil.rmtree(ckpt_root)
     pipe = CheckpointedPipeline(
         spark, ckpt_root,
-        config_token=f"u{args.num_updates}d{args.num_diffs}i{args.input}",
+        config_token=f"u{schema.num_updates}d{schema.num_diffs}"
+                     f"w{schema.total_width}i{args.input}",
     )
 
     def load(_):

@@ -56,6 +56,41 @@ def read_libsvm(spark: SparkSession, path: str, num_features: int | None = None)
     return reader.load(path)
 
 
+def cookie_json_to_rows(data: dict) -> list[tuple]:
+    """Flatten the reference's training-data JSON shape
+    ({cookie_key -> {name, domain, path, first_party_domain, label,
+    cmp_origin, variable_data: [update...]}}; README.md:40-63 /
+    training_data/test_case.json) into COOKIE_UPDATE_SCHEMA rows.
+    Update order becomes (ts, update_idx) with a synthetic 60s cadence —
+    the reference's positional ordering contract (processor.py:25)
+    made explicit as event time."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2021, 1, 1)
+    rows: list[tuple] = []
+    for key, entry in data.items():
+        for i, u in enumerate(entry["variable_data"]):
+            rows.append((
+                key,
+                t0 + timedelta(seconds=60 * i),
+                entry["name"],
+                entry["domain"],
+                entry["path"],
+                entry["first_party_domain"],
+                int(entry.get("label", -1)),
+                int(entry.get("cmp_origin", -1)),
+                i,
+                u["value"],
+                int(u["expiry"]),
+                bool(u["session"]),
+                bool(u["http_only"]),
+                bool(u["host_only"]),
+                bool(u["secure"]),
+                u["same_site"],
+            ))
+    return rows
+
+
 def union_latest_wins(
     dfs: Sequence[DataFrame], key_cols: Sequence[str], precedence_col: str = "__src_rank"
 ) -> DataFrame:

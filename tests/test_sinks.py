@@ -61,4 +61,7 @@ def test_debug_json_and_feature_map(assembled, tmp_path: Path):
     assert all(set(d["features"]) <= set(names) for d in dbg)
     fmap = (tmp_path / "fmap.txt").read_text().splitlines()
     assert len(fmap) == len(names)
-    assert fmap[0].split("\t")[2] == "q"
+    # reference format (dump_feature_map, processor.py:382-391):
+    # "{idx} {name}-{i} i" — space-separated, type char 'i'
+    assert fmap[0] == f"0 {names[0]} i"
+    assert all(line.endswith(" i") for line in fmap)
