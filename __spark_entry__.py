@@ -1253,6 +1253,30 @@ def q_entropy_zlib(spark, sf_dir):
     )
 
 
+@_q(
+    "shannon_entropy",
+    """
+    SELECT doc_id, round(entropy(ch), 6) AS entropy
+    FROM (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents
+      WHERE length(text) > 0 AND NOT contains(text, '%')
+    )
+    GROUP BY doc_id
+    """,
+)
+def q_shannon_entropy(spark, sf_dir):
+    """feature_shannon_entropy (processor.py:1083-1098) — value-exact
+    vs DuckDB's entropy() aggregate (log2, like the reference). The
+    filter pins both engines to the same input domain: the engine
+    kernel URL-decodes first (reference semantics), which DuckDB 1.0
+    cannot express, so %-containing and empty docs are excluded."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(
+        (F.length("text") > 0) & (~F.contains(F.col("text"), F.lit("%")))
+    ).select("doc_id", F.round(V.shannon_entropy("text"), 6).alias("entropy"))
+
+
 @_q("gestalt_diff")  # difflib kernel: no SQL twin
 def q_gestalt_diff(spark, sf_dir):
     """feature_gestalt_pattern_ratio over consecutive updates

@@ -81,23 +81,29 @@ def hyperplane_bucket(
 ) -> Column:
     """Random-hyperplane LSH bucket id: bit i = sign(v · h_i) with
     deterministic pseudo-random planes derived from (seed, i, j) via a
-    sine hash — stable across runs/engines, no stored plane matrix."""
+    sine hash — stable across runs/engines, no stored plane matrix.
+
+    The plane matrix ships as ONE nested-array literal and the
+    projections run through zip_with/aggregate, so the expression tree
+    is O(num_planes) regardless of dim — unrolling scalar expressions
+    (the previous shape) hits dim×planes analysis/codegen blowup at
+    real embedding widths (768-dim ≈ 4.6k nodes per projection)."""
 
     def plane_coeff(i: int, j: int) -> float:
         x = math.sin(seed * 1_000_003 + i * 10_007 + j * 97) * 43758.5453
         return x - math.floor(x) - 0.5
 
-    bucket = F.lit(0).cast("long")
-    for i in range(num_planes):
-        proj = F.lit(0.0)
-        for j in range(dim):
-            proj = proj + F.element_at(vec_col, j + 1).cast("double") * F.lit(
-                plane_coeff(i, j)
-            )
-        bucket = bucket.bitwiseOR(
-            F.shiftleft(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i)
-        )
-    return bucket
+    planes = [[plane_coeff(i, j) for j in range(dim)] for i in range(num_planes)]
+    # bits in plane order, then Σ bit_i·2^i (shiftleft needs literal
+    # shift counts, so powers-of-two arithmetic instead)
+    bits = F.transform(
+        F.lit(planes),
+        lambda p: F.when(dot(vec_col, p) > 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    weighted = F.zip_with(
+        bits, F.lit([float(1 << i) for i in range(num_planes)]), lambda b, w: b * w
+    )
+    return F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v).cast("long")
 
 
 def ivf_assign(
@@ -106,22 +112,38 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF cell assignment: each vector → nearest centroid by cosine
-    (broadcast the small centroid table; one scan, no shuffle).
-    Returns corpus columns + ``cell``."""
-    c = centroids.select(
-        F.col("centroid_id"), F.col(vec_col).alias("__cvec")
+    """IVF cell assignment: each vector → nearest centroid by cosine,
+    computed entirely ROW-LOCALLY: the (tiny, already-deterministic)
+    centroid set is collected, L2-normalized driver-side, and embedded
+    as one nested-array literal; nearest cell is an argmax over
+    per-centroid dot products (cosine ordering is preserved because
+    dot(v, c/|c|) = cos(v,c)·|v| and |v| is constant per row).
+
+    ZERO shuffle — the previous shape (crossJoin ×num_cells +
+    Window.partitionBy(vec_id) + row_number) hash-exchanged
+    num_cells× the corpus, a non-starter at 10^12 vectors.
+    Ties break toward the smallest centroid_id. Returns corpus
+    columns + ``cell``."""
+    rows = centroids.select("centroid_id", vec_col).collect()
+    cents = []
+    for r in rows:
+        v = [float(x) for x in r[vec_col]]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append((int(r["centroid_id"]), [x / n for x in v]))
+    cents.sort()
+    cmat = F.lit([v for _, v in cents])
+    cids = [cid for cid, _ in cents]
+    # struct(score, -cid): array_max compares field-wise, so ties on
+    # score pick the LARGER -cid == smaller centroid_id
+    scored = F.zip_with(
+        cmat,
+        F.lit([float(-cid) for cid in cids]),
+        lambda cvec, ncid: F.struct(
+            dot(F.col(vec_col), cvec).alias("s"), ncid.alias("ncid")
+        ),
     )
-    scored = corpus.crossJoin(F.broadcast(c)).withColumn(
-        "__sim", cosine(F.col(vec_col), F.col("__cvec"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__cvec", "__sim", "__rn")
-        .withColumnRenamed("centroid_id", "cell")
-    )
+    best = F.array_max(scored)
+    return corpus.withColumn("cell", (-best["ncid"]).cast("int"))
 
 
 def deterministic_centroids(

@@ -48,6 +48,43 @@ def test_ivf_topk_partial_probe_is_subset(spark, embeddings):
     assert joined.filter(F.col("a.cos_sim") != F.col("b.cos_sim")).count() == 0
 
 
+def test_ivf_assign_plan_has_zero_exchange(spark, embeddings):
+    """Assignment must be scan-speed: the centroid argmax is a
+    row-local array aggregate over a literal matrix — any Exchange
+    here would shuffle the whole corpus at 10^12 vectors."""
+    cents = similarity.deterministic_centroids(embeddings, 8)
+    a = similarity.ivf_assign(embeddings, cents)
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_hyperplane_bucket_high_dim_bounded_plan(spark):
+    """dim=256 × 8 planes: the plane matrix ships as one literal, so
+    plan construction stays O(planes) and evaluation works; values
+    match the Python twin bit-for-bit."""
+    import math
+    import time
+
+    dim, planes, seed = 256, 8, 7
+    rows = [(i, [float((i * j) % 7 - 3) for j in range(dim)]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    t0 = time.time()
+    col = similarity.hyperplane_bucket(F.col("embedding"), dim, num_planes=planes, seed=seed)
+    got = {r["vec_id"]: r["b"] for r in df.select("vec_id", col.alias("b")).collect()}
+    assert time.time() - t0 < 60
+
+    def coeff(i, j):
+        x = math.sin(seed * 1_000_003 + i * 10_007 + j * 97) * 43758.5453
+        return x - math.floor(x) - 0.5
+
+    for vid, vec in rows:
+        exp = 0
+        for i in range(planes):
+            proj = sum(v * coeff(i, j) for j, v in enumerate(vec))
+            exp |= (1 if proj > 0 else 0) << i
+        assert got[vid] == exp, vid
+
+
 def test_bucketed_join_has_no_exchange(spark, events, orders, tmp_path):
     import shutil
 
