@@ -452,7 +452,13 @@ def content_kernel_udf(content_terms: list[str], delimiters: str = DELIMITERS,
 
     @pandas_udf(T.StructType(fields))
     def _udf(s: pd.Series) -> pd.DataFrame:
-        terms = [(re.compile(t), i) for i, t in enumerate(content_terms)]
+        # literal patterns (no regex metachars — most of the shipped
+        # 50-term/500-token resources) take the substring fast path:
+        # `lit in text` == re.search(re.escape(lit), text) but ~10×
+        # cheaper across a 500-pattern bank
+        lit_terms = [(t, i) for i, t in enumerate(content_terms) if t == re.escape(t)]
+        re_terms = [(re.compile(t), i) for i, t in enumerate(content_terms)
+                    if t != re.escape(t)]
         js_pat = re.compile(r"^\{.*}$")  # processor.py:175
         truth = _truth_pat()
 
@@ -487,7 +493,10 @@ def content_kernel_udf(content_terms: list[str], delimiters: str = DELIMITERS,
             ntok = len(toks) if toks else None
             csvf = _py_csv_content_flags(v, csv_min_seps)
             jsf = _py_js_content(v)
-            ranks = [i for c, i in terms if c.search(dec)]
+            ranks = sorted(
+                [i for t, i in lit_terms if t in dec]
+                + [i for c, i in re_terms if c.search(dec)]
+            )
             return (
                 dec, float(len(enc)), zl, ent, b64, empty, jso, boolc,
                 pm(dec.isnumeric()), pm(dec.isalpha()), pm(dec.isupper()),
@@ -518,13 +527,28 @@ def regex_ranks_udf(patterns: list[str], mode: str = "search", flags: int = 0,
 
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def _udf(s: pd.Series) -> pd.Series:
-        compiled = [(re.compile(p, flags), i) for i, p in enumerate(patterns)]
+        # literal patterns (no metachars, default flags) short-circuit
+        # to substring/prefix tests — semantically identical to
+        # re.search/re.match of the escaped literal, ~10× cheaper over
+        # a 500-pattern bank
+        lits, regs = [], []
+        for i, p in enumerate(patterns):
+            if flags == 0 and p == re.escape(p):
+                lits.append((p, i))
+            else:
+                regs.append((re.compile(p, flags), i))
         matcher = (lambda c, v: c.match(v)) if mode == "match" else (lambda c, v: c.search(v))
+        lit_test = (
+            (lambda p, v: v.startswith(p)) if mode == "match" else (lambda p, v: p in v)
+        )
 
         def one(v):
             if url_decode:
                 v = unquote(v)
-            return [rank for c, rank in compiled if matcher(c, v)]
+            return sorted(
+                [rank for p, rank in lits if lit_test(p, v)]
+                + [rank for c, rank in regs if matcher(c, v)]
+            )
 
         return s.map(one, na_action="ignore")
 
