@@ -1193,9 +1193,11 @@ def q_lang_id(spark, sf_dir):
     """,
 )
 def q_embedding_near_dup(spark, sf_dir):
-    """embedding-cosine near-duplicate pairs (exact threshold scan —
-    the verification path; the LSH-bucketed candidate path is
-    ann_lsh_topk/lsh_candidates)."""
+    """embedding-cosine near-duplicate pairs — EXACT all-pairs scan,
+    the TEST-ONLY oracle surface (bounded fixture sizes). The scale
+    path is similarity.lsh_near_dup_pairs (bucketed candidates + exact
+    verify), whose recall vs this oracle is measured in
+    tests/test_dedup_similarity.py::test_lsh_near_dup_recall."""
     from cookieblock_consent_classifier_spark.operators.similarity import cosine
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -106,6 +106,46 @@ def hyperplane_bucket(
     return F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v).cast("long")
 
 
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    num_tables: int = 2,
+    round_to: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """SCALE PATH for embedding near-duplicate detection: candidate
+    pairs come from ``num_tables`` independent hyperplane-LSH tables
+    (bucket equi-self-joins — shuffle ∝ Σ bucket² per table, never
+    |corpus|²), then exact cosine verifies each candidate against
+    ``threshold``. Recall < 1 by construction; measured against the
+    exact all-pairs oracle in
+    tests/test_dedup_similarity.py::test_lsh_near_dup_recall.
+    More tables / fewer planes → higher recall, more candidates."""
+    pairs = None
+    for t in range(num_tables):
+        b = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            hyperplane_bucket(F.col(vec_col), dim, num_planes, seed=seed + 1009 * t).alias("bucket"),
+        )
+        left = b.select(F.col(id_col).alias("a"), F.col(vec_col).alias("ea"), "bucket")
+        right = b.select(F.col(id_col).alias("b"), F.col(vec_col).alias("eb"), "bucket")
+        cand = (
+            left.join(right, "bucket")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", "ea", "eb")
+        )
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    pairs = pairs.dropDuplicates(["a", "b"])
+    return pairs.select(
+        "a", "b", F.round(cosine(F.col("ea"), F.col("eb")), round_to).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

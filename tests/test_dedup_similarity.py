@@ -104,3 +104,33 @@ def test_lsh_topk_subset_of_bruteforce(spark, embeddings):
     )
     mismatches = joined.filter(F.col("a.cos_sim") != F.col("b.cos_sim")).count()
     assert mismatches == 0
+
+
+def test_lsh_near_dup_recall(spark, embeddings):
+    """Measured recall of the LSH near-dup SCALE path vs the exact
+    all-pairs oracle (the q_embedding_near_dup surface), plus the
+    candidate-volume saving that justifies it at scale."""
+    thresh = 0.4
+    a = embeddings.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = embeddings.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    exact = (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", F.round(
+            similarity.cosine(F.col("ea"), F.col("eb")), 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= thresh)
+    )
+    exact_pairs = {(r["a"], r["b"]) for r in exact.collect()}
+    assert exact_pairs, "fixture must contain near-dup pairs"
+
+    got = similarity.lsh_near_dup_pairs(
+        embeddings, dim=16, threshold=thresh, num_planes=4, num_tables=4
+    )
+    got_pairs = {(r["a"], r["b"]) for r in got.collect()}
+    # no false positives possible: candidates are exact-verified
+    assert got_pairs <= exact_pairs
+    recall = len(got_pairs) / len(exact_pairs)
+    n = embeddings.count()
+    all_pairs = n * (n - 1) // 2
+    print(f"lsh_near_dup recall={recall:.3f} ({len(got_pairs)}/{len(exact_pairs)}), "
+          f"exact scans {all_pairs} pairs")
+    assert recall >= 0.5, recall  # measured floor for 4 planes x 4 tables
