@@ -1386,6 +1386,41 @@ def q_cookie_feature_pipeline(spark, sf_dir):
     )
 
 
+@_q("cookie_pipeline_fullwidth")  # golden-parity surface: no SQL twin
+def q_cookie_pipeline_fullwidth(spark, sf_dir):
+    """Full-declared-width extraction: the reference's REAL
+    features.json + resources (500/500/50/500/50 banks → 1,689 slots)
+    through sources/config.load_features_config, over the synthetic
+    cookie-update table. Values at this exact config are pinned
+    numpy-allclose against the real reference extractor in
+    tests/test_golden_reference.py; wall-cost vs fixture width in
+    scripts/bench_fullwidth.py (0.92×)."""
+    from cookieblock_consent_classifier_spark.plans.compiler import compile_features
+    from cookieblock_consent_classifier_spark.sources.config import load_features_config
+    from cookieblock_consent_classifier_spark.sources.synth import synth_cookie_updates
+
+    key = ("cookie_pipeline_fullwidth", id(spark))
+    cached = _PLAN_CACHE.get(key)
+    if cached is None:
+        schema, res = load_features_config(
+            "/root/reference/feature_extraction/features.json",
+            base_dir="/root/reference",
+        )
+        df = synth_cookie_updates(spark, num_entities=500, updates_per_entity=3)
+        cached = compile_features(df, schema, res)
+        _PLAN_CACHE[key] = cached
+    wide, names = cached
+    return wide.select(
+        "entity_id",
+        F.size("indices").alias("nnz"),
+        F.round(
+            F.aggregate("values", F.lit(0.0), lambda a, v: a + F.abs(v)), 4
+        ).alias("l1_norm"),
+        "label",
+        F.round("weight", 6).alias("weight"),
+    )
+
+
 @_q("ann_ivf_topk")  # IVF routing: approximate by design; rows-only
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF approximate nearest neighbors: deterministic centroid

@@ -85,13 +85,18 @@ def expiry_buckets(col: str | Column) -> list[Column]:
 
 def content_length(col: str | Column) -> Column:
     """UTF-8 byte length of the URL-decoded value
-    (feature_content_length, processor.py:1052-1059)."""
+    (feature_content_length, processor.py:1052-1059). NB engine-surface
+    variant: F.try_url_decode is Java URLDecoder ('+'→space, NULL on
+    malformed escapes) — the reference-exact Python-unquote path is the
+    fused kernel's dec_len field, which the plan compiler uses."""
     return F.octet_length(F.try_url_decode(_c(col))).cast("double")
 
 
 def url_encoded(col: str | Column) -> Column:
     """value != unquote(value) → ±1 (feature_url_encoding,
-    processor.py:1101-1113)."""
+    processor.py:1101-1113). Engine-surface variant (see
+    content_length note); the compiler compares against the kernel's
+    dec field instead."""
     c = _c(col)
     return pm(F.coalesce(F.try_url_decode(c), c) != c)
 
@@ -118,7 +123,10 @@ UUID_PAT = (                                                  # processor.py:170
 
 def boolean_content(col: str | Column) -> Column:
     """feature_boolean_content (processor.py:1386-1395): word-bounded
-    true/false/yes/no/0/1/on/off anywhere in the value → ±1."""
+    true/false/yes/no/0/1/on/off anywhere in the value → ±1.
+    Engine-surface variant: Java \\b is ASCII-only while Python's is
+    unicode-aware — the reference-exact path is the fused kernel's
+    bool_content field, which the compiler uses."""
     return pm(F.lower(_c(col)).rlike(BOOLEAN_PAT))
 
 
@@ -213,7 +221,10 @@ def uuid_version_onehot_ref(col: str | Column) -> list[Column]:
 
 def empty_content(col: str | Column) -> Column:
     """feature_empty_content (processor.py:1376-1384): empty or
-    whitespace-only (no URL-decode) → ±1."""
+    whitespace-only (no URL-decode) → ±1. Engine-surface variant:
+    F.trim strips ASCII space only, Python str.isspace() covers
+    tab/newline/unicode spaces — the reference-exact path is the
+    fused kernel's is_empty field, which the compiler uses."""
     c = _c(col)
     return pm(F.trim(c) == F.lit(""))
 
