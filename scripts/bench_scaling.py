@@ -143,6 +143,17 @@ def main() -> None:
     print(json.dumps(result))
 
     os.makedirs("/root/repo/BENCH", exist_ok=True)
+    # preserve everything below the marker (other bench sections +
+    # attempt history) across rewrites
+    marker = "<!-- PRESERVED -->"
+    preserved = ""
+    try:
+        with open("/root/repo/BENCH/BASELINE.md", encoding="utf-8") as fd:
+            old = fd.read()
+        if marker in old:
+            preserved = old.split(marker, 1)[1]
+    except FileNotFoundError:
+        pass
     with open("/root/repo/BENCH/BASELINE.md", "w", encoding="utf-8") as fd:
         fd.write(
             "# BENCH/BASELINE — throughput + scaling efficiency\n\n"
@@ -172,6 +183,7 @@ def main() -> None:
             )
             + f"\nraw: {json.dumps({k: v['times'] for k, v in levels.items()})}\n"
             + (f"control raw: {json.dumps({k: v['times'] for k, v in control.items()})}\n" if control else "")
+            + f"\n{marker}\n{preserved}"
         )
 
 
