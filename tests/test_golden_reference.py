@@ -137,6 +137,44 @@ def test_golden_multi_update_config(spark, ref_module, abs_config, engine_config
     _compare(ref_mat, list(data), engine_rows, names)
 
 
+def test_golden_training_mode_labels_and_weights(spark, ref_module, abs_config, engine_config):
+    """Training-path parity (extract_features_with_labels,
+    processor.py:457-586, with skip_cmp_cookies=False so the
+    reference's random.random() CMP skip never fires): label list,
+    inverse-class-frequency weights (retrieve_label_weights,
+    processor.py:263-273) AND the full matrix must match."""
+    with open(CRAWL, encoding="utf-8") as fd:
+        data = json.load(fd)
+    proc = _new_processor(ref_module, abs_config)
+    proc.extract_features_with_labels(data)
+    ref_mat = ref_shims.reference_dense_matrix(proc)
+    ref_labels = proc.retrieve_labels()
+    ref_weights = proc.retrieve_label_weights(num_labels=4)
+    keys = [k for k in data if 0 <= int(data[k]["label"]) <= 3]
+    assert len(keys) == len(ref_labels) == ref_mat.shape[0]
+
+    schema, res = engine_config
+    rows = cookie_json_to_rows(data)
+    df = spark.createDataFrame(rows, COOKIE_UPDATE_SCHEMA)
+    wide, names = compile_features(df, schema, res, training=True, with_weights=True)
+    got = {r["entity_id"]: r for r in wide.collect()}
+    assert set(got) == set(keys)
+
+    engine_rows = {}
+    bad_lw = []
+    for i, k in enumerate(keys):
+        r = got[k]
+        v = np.zeros(len(names))
+        v[list(r["indices"])] = r["values"]
+        engine_rows[k] = v
+        if r["label"] != ref_labels[i]:
+            bad_lw.append((k, "label", ref_labels[i], r["label"]))
+        if abs(r["weight"] - ref_weights[i]) > 1e-9:
+            bad_lw.append((k, "weight", ref_weights[i], r["weight"]))
+    assert not bad_lw, bad_lw[:10]
+    _compare(ref_mat, keys, engine_rows, names)
+
+
 def test_js2py_waiver_rate(ref_module, abs_config):
     """Measure the bounded-JS-parser residual on the full example
     crawl: of all values that reach the js2py fallback (json.loads
