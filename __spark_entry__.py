@@ -26,7 +26,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from cookieblock_consent_classifier_spark.functions import native, text as TX, vectorized as V
-from cookieblock_consent_classifier_spark.operators import asof, dedup, similarity, temporal
+from cookieblock_consent_classifier_spark.operators import (
+    asof,
+    dedup,
+    search as search_ops,
+    similarity,
+    temporal,
+)
 from cookieblock_consent_classifier_spark.sources.readers import union_latest_wins
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1347,7 +1353,7 @@ def q_lsh_candidates(spark, sf_dir):
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbors (scale path)."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=16, k=5)
+    out = similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
     return out.select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
@@ -1383,6 +1389,97 @@ def q_cookie_feature_pipeline(spark, sf_dir):
         ).alias("l1_norm"),
         "label",
         F.round("weight", 6).alias("weight"),
+    )
+
+
+# ---- hyperparameter search dataflow (train_xgb.py:460-476 analogue:
+# GridSearchCV / RandomizedSearchCV over CV folds, with the pluggable
+# deterministic scorer standing in for the GBDT) -----------------------
+
+# integer weights → every FP op (float32→double, dot, /temp, +shift·c)
+# is bit-identical in Spark and DuckDB, so argmax ties and accuracies
+# compare value-exact
+_SEARCH_W = [[((j * 31 + c * 17) % 7) - 3 for j in range(64)] for c in range(4)]
+_SEARCH_GRID = {"temp": [1.0, 2.0], "shift": [0.0, 0.25]}
+
+
+def _search_sql(combos: list[dict]) -> str:
+    ws = {c: "[" + ",".join(str(x) for x in _SEARCH_W[c]) + "]" for c in range(4)}
+    values = ", ".join(
+        f"({i}, {c['temp']}, {c['shift']})" for i, c in enumerate(combos)
+    )
+    score = {c: f"(list_dot_product(embedding::DOUBLE[], {ws[c]}) / p.temp + p.shift * {c})"
+             for c in range(4)}
+    return f"""
+    WITH base AS (
+      SELECT label,
+             CAST('0x' || substr(md5(vec_id::VARCHAR), 1, 15) AS BIGINT) % 5 AS fold,
+             embedding
+      FROM embeddings
+    ), params(param_id, temp, shift) AS (VALUES {values}),
+    scored AS (
+      SELECT b.label, b.fold, p.param_id, p.temp, p.shift,
+             CASE
+               WHEN {score[0]} >= {score[1]} AND {score[0]} >= {score[2]} AND {score[0]} >= {score[3]} THEN 0
+               WHEN {score[1]} >= {score[2]} AND {score[1]} >= {score[3]} THEN 1
+               WHEN {score[2]} >= {score[3]} THEN 2
+               ELSE 3
+             END AS pred
+      FROM base b CROSS JOIN params p
+    )
+    SELECT param_id, temp, shift, fold,
+           count(*)::BIGINT AS n,
+           round(avg(CASE WHEN pred = label THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+    FROM scored GROUP BY param_id, temp, shift, fold
+    """
+
+
+def _search_scorer(params: dict) -> list:
+    return [
+        similarity.dot(F.col("embedding"), F.lit([float(x) for x in _SEARCH_W[c]]))
+        / F.lit(params["temp"]) + F.lit(params["shift"] * c)
+        for c in range(4)
+    ]
+
+
+@_q("grid_search_cv", _search_sql(search_ops.expand_grid(_SEARCH_GRID)))
+def q_grid_search_cv(spark, sf_dir):
+    """Grid search over deterministic hash folds: one scan scores every
+    parameter combination, one aggregation yields per-(combo, fold)
+    accuracy (train_xgb.py:460-470 GridSearchCV dataflow)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    res = search_ops.grid_search(
+        emb, _search_scorer, _SEARCH_GRID, label_col="label",
+        id_col="vec_id", num_folds=5,
+    )
+    return res.select("param_id", "temp", "shift", "fold", "n", "accuracy")
+
+
+_SEARCH_GRID_BIG = {"temp": [0.5, 1.0, 2.0, 4.0], "shift": [0.0, 0.25, 0.5]}
+_SEARCH_SAMPLED = search_ops.sample_grid(search_ops.expand_grid(_SEARCH_GRID_BIG), 4, seed=11)
+
+
+@_q(
+    "random_search_best",
+    f"""
+    WITH per_fold AS ({_search_sql(_SEARCH_SAMPLED)})
+    SELECT param_id, temp, shift,
+           round(avg(accuracy), 6) AS mean_accuracy,
+           row_number() OVER (ORDER BY round(avg(accuracy), 6) DESC, param_id) AS rank
+    FROM per_fold GROUP BY param_id, temp, shift
+    """,
+)
+def q_random_search_best(spark, sf_dir):
+    """Random search (deterministic md5-ranked subsample of a 12-combo
+    grid, RandomizedSearchCV analogue) + best-parameter ranking by
+    mean CV accuracy (train_xgb.py:472-476)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    res = search_ops.grid_search(
+        emb, _search_scorer, _SEARCH_GRID_BIG, label_col="label",
+        id_col="vec_id", num_folds=5, n_iter=4, seed=11,
+    )
+    return search_ops.best_params(res, ["temp", "shift"]).select(
+        "param_id", "temp", "shift", "mean_accuracy", "rank"
     )
 
 

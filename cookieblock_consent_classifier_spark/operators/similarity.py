@@ -94,11 +94,15 @@ def hyperplane_bucket(
         return x - math.floor(x) - 0.5
 
     planes = [[plane_coeff(i, j) for j in range(dim)] for i in range(num_planes)]
+    # project onto the FIRST `dim` coordinates explicitly (slice):
+    # zip_with pads the shorter side with NULLs, which would poison the
+    # dot product if the stored vectors are wider than `dim`
+    v = F.slice(vec_col, 1, dim)
     # bits in plane order, then Σ bit_i·2^i (shiftleft needs literal
     # shift counts, so powers-of-two arithmetic instead)
     bits = F.transform(
         F.lit(planes),
-        lambda p: F.when(dot(vec_col, p) > 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+        lambda p: F.when(dot(v, p) > 0, F.lit(1.0)).otherwise(F.lit(0.0)),
     )
     weighted = F.zip_with(
         bits, F.lit([float(1 << i) for i in range(num_planes)]), lambda b, w: b * w
