@@ -41,7 +41,9 @@ BENCH_QUERIES = [
     "entropy_zlib",
     "gestalt_diff",
     "simhash",
+    "grid_search_cv",
     "cookie_feature_pipeline",
+    "cookie_pipeline_fullwidth",
 ]
 
 
