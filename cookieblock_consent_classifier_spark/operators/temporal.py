@@ -147,11 +147,14 @@ def flag_changed(col: str | Column, entity_col: str, order_cols: Sequence[str]) 
 
     Reference semantics check_flag_changed (utils.py:59-78): emitted
     only when changed (sparse 0 otherwise). "Some consecutive pair
-    differs" ⇔ "more than one distinct value in the ordered sequence",
-    so this compiles to countDistinct — one shuffle shared with the
-    other per-entity aggregates, no window needed.
+    differs" ⇔ "more than one distinct value in the ordered sequence"
+    ⇔ min(c) != max(c) for non-null orderable values — plain algebraic
+    aggregates with map-side partials. (count_distinct would be
+    equivalent but N distinct aggs in one groupBy compile to an Expand
+    — N× the shuffle rows plus a SECOND exchange; min/max keep the
+    whole agg family on ONE exchange.)
 
     Use inside groupBy(entity).agg(...).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.count_distinct(c) > 1, F.lit(1.0))
+    return F.when(F.min(c) != F.max(c), F.lit(1.0))
