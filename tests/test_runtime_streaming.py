@@ -113,3 +113,55 @@ def test_salted_agg_matches_plain(spark, events):
         | (F.abs(F.col("s") - F.col("stddev")) > 1e-9)
     ).count()
     assert bad == 0
+
+
+def test_streaming_per_update_feature_extraction(spark, tmp_path: Path):
+    """§2.9: the fused per-update Arrow kernel runs unchanged under
+    Structured Streaming (file source → kernel projection → memory
+    sink) and emits exactly the batch values — the per-update half of
+    the feature pipeline is streaming-ready as-is."""
+    from cookieblock_consent_classifier_spark.functions import vectorized as V
+    from cookieblock_consent_classifier_spark.schema import COOKIE_UPDATE_SCHEMA
+    from cookieblock_consent_classifier_spark.sources.synth import synth_cookie_updates
+
+    src = tmp_path / "stream_src"
+    batch_df = synth_cookie_updates(spark, num_entities=50, updates_per_entity=2)
+    batch_df.write.mode("overwrite").parquet(str(src))
+
+    kernel = V.content_kernel_udf(["consent", "true"], delim_min_seps=1, csv_min_seps=2)
+
+    def features(df):
+        k = kernel(F.col("value")).alias("k")
+        return df.select(
+            "entity_id", "update_idx", k
+        ).select(
+            "entity_id", "update_idx",
+            F.col("k")["dec_len"].alias("dec_len"),
+            F.col("k")["entropy"].alias("entropy"),
+            F.col("k")["is_numeric"].alias("is_numeric"),
+            F.col("k")["js_len"].alias("js_len"),
+        )
+
+    stream = (
+        spark.readStream.schema(COOKIE_UPDATE_SCHEMA).parquet(str(src))
+    )
+    q = (
+        features(stream)
+        .writeStream.format("memory").queryName("feat_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_stream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["entity_id"], r["update_idx"]): (r["dec_len"], round(r["entropy"], 9),
+                                            r["is_numeric"], r["js_len"])
+        for r in spark.sql("SELECT * FROM feat_stream").collect()
+    }
+    exp = {
+        (r["entity_id"], r["update_idx"]): (r["dec_len"], round(r["entropy"], 9),
+                                            r["is_numeric"], r["js_len"])
+        for r in features(spark.read.parquet(str(src))).collect()
+    }
+    assert got == exp and len(got) == 100
