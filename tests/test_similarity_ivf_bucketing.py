@@ -85,6 +85,34 @@ def test_hyperplane_bucket_high_dim_bounded_plan(spark):
         assert got[vid] == exp, vid
 
 
+def test_ivf_partitioned_probe_prunes_cells(spark, embeddings, tmp_path):
+    """The IVF scale path: assigned corpus written partitionBy(cell);
+    an nprobe-cell probe must PRUNE unprobed cells at the source (read
+    nprobe/num_cells of the files) — at 10^12 vectors that pruning IS
+    the speedup. Pinned via the scan's partition count."""
+    cents = similarity.deterministic_centroids(embeddings, 8)
+    assigned = similarity.ivf_assign(embeddings, cents)
+    path = str(tmp_path / "ivf_cells")
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+
+    lists = spark.read.parquet(path)
+    probe = lists.filter(F.col("cell").isin(2, 5))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # partition filters reached the scan…
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    # …and actually pruned: the probe scan reads 2 of the 8 cell dirs
+    import re
+
+    m = re.search(r"partition count: (\d+)", plan)
+    if m:  # Spark prints it in the scan metadata when available
+        assert int(m.group(1)) == 2, plan[:1200]
+    got = {r["cell"] for r in probe.select("cell").distinct().collect()}
+    assert got == {2, 5}
+    # probed rows == the cells' full inverted lists (no loss)
+    expected = assigned.filter(F.col("cell").isin(2, 5)).count()
+    assert probe.count() == expected
+
+
 def test_bucketed_join_has_no_exchange(spark, events, orders, tmp_path):
     import shutil
 
