@@ -1,25 +1,30 @@
 """Multimodal (image) payload kernels — north-rule input_hint shape
 (image_id, bytes, w, h, fmt, caption, phash).
 
-The container has no image codec libraries, so the *codec* is a
-deterministic synthetic one (documented below) while everything
-Spark-side — binary column handling, Arrow batch shapes, pandas-UDF
-signatures, per-entity phash-delta windows, PSNR verification — is
-real and tested. If PIL becomes available the codec swaps behind the
-same two functions (`encode_image`, `decode_image`); nothing else
-changes.
+Codecs:
+- fmt='png'  → REAL PNG (8-bit grayscale, colortype 0): standard
+  signature, IHDR/IDAT/IEND chunks, CRC-32, zlib-compressed scanlines.
+  Encode emits filter type 0; decode implements ALL five PNG scanline
+  filters (None/Sub/Up/Average/Paeth), so externally-produced
+  grayscale-8 PNGs decode too. Pure stdlib (zlib/struct) + numpy —
+  no image library needed. Lossless: decoded pixels are bit-exact
+  (PSNR = inf ≥ the 40 dB input_hint invariant).
+- fmt='jpeg' → deterministic synthetic lossy stand-in (step-4
+  quantization in a self-describing container): the container has no
+  JPEG library, so real DCT decode is out of reach — the quantizer
+  preserves the *lossy-but-high-PSNR* contract (≈47 dB) that the
+  pipeline verifies. Swaps for a real codec behind the same two
+  functions (`encode_image`, `decode_image`); nothing else changes.
 
-Synthetic codec:
-- pixels: uint8 grayscale, row-major, shape (h, w)
-- fmt='png'  → payload is the raw pixel bytes (lossless)
-- fmt='jpeg' → payload is pixels quantized to 16 levels (lossy but
-  high-PSNR on smooth content; deterministic)
-A 4-byte magic + w/h header makes decode self-checking.
+Everything Spark-side — binary column handling, Arrow batch shapes,
+pandas-UDF signatures, per-entity phash-delta windows, PSNR
+verification — is real and tested either way.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -34,6 +39,101 @@ except Exception:
     HAVE_PIL = False
 
 _MAGIC = b"SGIM"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------------------
+# real PNG subset codec (grayscale 8-bit), stdlib-only
+# ---------------------------------------------------------------------------
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + tag + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray(pixels: np.ndarray) -> bytes:
+    """Standard-conformant 8-bit grayscale PNG (filter 0 scanlines)."""
+    h, w = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # bitdepth 8, gray
+    raw = b"".join(b"\x00" + pixels[i].tobytes() for i in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png_gray(data: bytes) -> np.ndarray:
+    """Decode an 8-bit grayscale PNG; supports all 5 scanline filters
+    (so foreign encoders' output decodes, not just ours)."""
+    assert data[:8] == _PNG_SIG, "not a PNG"
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        crc = struct.unpack(">I", data[pos + 8 + length:pos + 12 + length])[0]
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or ctype != 0 or comp != 0 or filt != 0 or inter != 0:
+                raise NotImplementedError(
+                    f"PNG subset codec: only 8-bit grayscale, got depth={depth} colortype={ctype}"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    assert len(raw) == h * (w + 1), "bad scanline payload size"
+    out = np.empty((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.uint8)
+    for i in range(h):
+        row = np.frombuffer(raw[i * (w + 1) + 1:(i + 1) * (w + 1)], dtype=np.uint8)
+        ftype = raw[i * (w + 1)]
+        if ftype == 0:  # None
+            cur = row.copy()
+        elif ftype == 2:  # Up
+            cur = row + prev  # uint8 wraps mod 256, per spec
+        elif ftype == 1:  # Sub
+            cur = np.empty(w, dtype=np.uint8)
+            left = 0
+            for j in range(w):
+                left = (int(row[j]) + left) & 0xFF
+                cur[j] = left
+        elif ftype == 3:  # Average
+            cur = np.empty(w, dtype=np.uint8)
+            left = 0
+            for j in range(w):
+                left = (int(row[j]) + ((left + int(prev[j])) >> 1)) & 0xFF
+                cur[j] = left
+        elif ftype == 4:  # Paeth
+            cur = np.empty(w, dtype=np.uint8)
+            left = upleft = 0
+            for j in range(w):
+                left = (int(row[j]) + _paeth(left, int(prev[j]), upleft)) & 0xFF
+                upleft = int(prev[j])
+                cur[j] = left
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[i] = cur
+        prev = cur
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -59,21 +159,23 @@ def hash_str(s: str) -> int:
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return encode_png_gray(pixels)  # REAL PNG (module docstring)
     h, w = pixels.shape
     if fmt == "jpeg":
-        # step-4 quantization: MSE ≈ 4²/12 → PSNR ≈ 47 dB (≥ 40 dB
-        # lossy invariant per input_hint)
+        # synthetic lossy stand-in — step-4 quantization: MSE ≈ 4²/12
+        # → PSNR ≈ 47 dB (≥ 40 dB lossy invariant per input_hint)
         body = ((pixels.astype(np.uint16) + 2) // 4 * 4).clip(0, 255).astype(np.uint8)
-    elif fmt == "png":
-        body = pixels
     else:
         raise NotImplementedError(f"codec for fmt={fmt!r} not available in this container")
     return _MAGIC + struct.pack("<II", w, h) + body.tobytes()
 
 
 def decode_image(payload: bytes) -> np.ndarray:
+    if payload[:8] == _PNG_SIG:
+        return decode_png_gray(payload)
     if payload[:4] != _MAGIC:
-        raise ValueError("not a synthetic-codec payload")
+        raise ValueError("neither PNG nor synthetic-codec payload")
     w, h = struct.unpack("<II", payload[4:12])
     return np.frombuffer(payload[12:], dtype=np.uint8).reshape(h, w)
 

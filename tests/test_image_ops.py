@@ -53,3 +53,83 @@ def test_unknown_format_raises():
     px = I.synth_pixels("img_t", 0, 8, 8)
     with pytest.raises(NotImplementedError):
         I.encode_image(px, "webp")
+
+
+def test_png_roundtrip_bit_exact():
+    """fmt='png' is a REAL PNG now: standard signature + CRC'd chunks,
+    zlib scanlines; decode(encode(x)) == x bit-exact."""
+    import numpy as np
+    from cookieblock_consent_classifier_spark.functions import image as I
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(23, 17), dtype=np.uint8)
+    payload = I.encode_image(px, "png")
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    assert b"IHDR" in payload[:40] and b"IEND" in payload[-12:]
+    back = I.decode_image(payload)
+    assert np.array_equal(back, px)
+    assert I.psnr(px, back) == float("inf")
+
+
+def test_png_decoder_handles_all_filters():
+    """The decoder must invert every PNG scanline filter — verified
+    against an independent filter implementation written here."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from cookieblock_consent_classifier_spark.functions import image as I
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(6, 9), dtype=np.uint8)
+    h, w = px.shape
+
+    def filt_row(ftype, row, prev):
+        out = bytearray([ftype])
+        for j in range(w):
+            x = int(row[j])
+            a = int(row[j - 1]) if j > 0 else 0
+            b = int(prev[j])
+            c = int(prev[j - 1]) if j > 0 else 0
+            if ftype == 0:
+                out.append(x)
+            elif ftype == 1:
+                out.append((x - a) & 0xFF)
+            elif ftype == 2:
+                out.append((x - b) & 0xFF)
+            elif ftype == 3:
+                out.append((x - ((a + b) >> 1)) & 0xFF)
+            else:  # paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((x - pred) & 0xFF)
+        return bytes(out)
+
+    prev = np.zeros(w, dtype=np.uint8)
+    raw = b""
+    for i in range(h):
+        raw += filt_row(i % 5, px[i], prev)  # cycle through all 5 filters
+        prev = px[i]
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    back = I.decode_image(payload)
+    assert np.array_equal(back, px)
+
+
+def test_png_crc_corruption_detected():
+    import numpy as np
+    import pytest as _pt
+    from cookieblock_consent_classifier_spark.functions import image as I
+
+    px = np.zeros((4, 4), dtype=np.uint8)
+    payload = bytearray(I.encode_image(px, "png"))
+    payload[40] ^= 0xFF  # flip a byte inside IDAT
+    with _pt.raises(ValueError, match="CRC"):
+        I.decode_image(bytes(payload))
