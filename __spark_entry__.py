@@ -1333,10 +1333,48 @@ def q_simhash(spark, sf_dir):
     return sh.select("doc_id", "simhash", *dedup.simhash_blocks(F.col("simhash")))
 
 
-@_q("lsh_candidates")  # depends on minhash lanes; pair join rows-only
+def _lsh_candidates_sql() -> str:
+    # 8 lanes → 4 bands of 2; band_key = md5(m_{2b} || '_' || m_{2b+1})
+    # exactly as lsh_bands builds it (concat_ws of BIGINT casts)
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(minhash_{2*b}::VARCHAR || '_' || minhash_{2*b+1}::VARCHAR) AS band_key "
+        f"FROM sig WHERE minhash_0 IS NOT NULL"
+        for b in range(4)
+    )
+    shingles = f"""
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(string_split_regex({_NORM_SQL.format(c='text')}, '\\s+')) - 2),
+               i -> string_split_regex({_NORM_SQL.format(c='text')}, '\\s+')[i] || ' ' ||
+                    string_split_regex({_NORM_SQL.format(c='text')}, '\\s+')[i+1] || ' ' ||
+                    string_split_regex({_NORM_SQL.format(c='text')}, '\\s+')[i+2])) AS s
+      FROM documents
+    """
+    return f"""
+    WITH sig AS ({_minhash_sql(8)}),
+    bands AS ({band_selects}),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+      WHERE x.doc_id < y.doc_id
+    ),
+    sh AS ({shingles})
+    SELECT p.a, p.b,
+           round(CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+                 THEN len(list_intersect(sa.s, sb.s))::DOUBLE
+                      / len(list_distinct(list_concat(sa.s, sb.s)))
+                 END, 6) AS jaccard
+    FROM pairs p JOIN sh sa ON sa.doc_id = p.a JOIN sh sb ON sb.doc_id = p.b
+    """
+
+
+@_q("lsh_candidates", _lsh_candidates_sql())
 def q_lsh_candidates(spark, sf_dir):
     """MinHash-LSH banding → candidate pairs → exact n-gram Jaccard
-    verification."""
+    verification. Value-exact vs DuckDB: the signature lanes, band
+    keys (md5 of concatenated lanes) and the Jaccard verification are
+    all portable md5/list arithmetic."""
     docs = _t(spark, sf_dir, "documents")
     sig = dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=8)
     bands = dedup.lsh_bands(sig, "doc_id", num_hashes=8, band_size=2)

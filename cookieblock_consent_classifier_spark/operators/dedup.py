@@ -107,7 +107,11 @@ def lsh_bands(
 ) -> DataFrame:
     """Band the signature: band_key = md5 of the band's concatenated
     minhashes. Output long format (id, band, band_key) — the join key
-    space for candidate generation."""
+    space for candidate generation. Docs with no shingles (all-null
+    signature) are excluded: concat_ws would otherwise collapse their
+    NULL lanes to one shared '' key and pair every empty doc with
+    every other."""
+    sig_df = sig_df.filter(F.col("minhash_0").isNotNull())
     bands = []
     for b in range(0, num_hashes, band_size):
         key = F.md5(
