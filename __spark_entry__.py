@@ -1387,6 +1387,46 @@ def q_lsh_candidates(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_clusters_cc",
+    f"""
+    WITH RECURSIVE verified AS (
+      SELECT a, b FROM ({_lsh_candidates_sql()}) WHERE jaccard >= 0.5
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM verified
+      UNION
+      SELECT b AS src, a AS dst FROM verified
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+    )
+    SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters_cc(spark, sf_dir):
+    """End-to-end near-dup CLUSTERING: minhash → LSH bands → candidate
+    pairs → exact Jaccard verify (≥ 0.5) → connected components
+    (operators/dedup.connected_components: iterative min-label
+    propagation — pairs alone under-merge transitive duplicates).
+    Value-exact vs a DuckDB recursive-CTE reachability oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=8)
+    bands = dedup.lsh_bands(sig, "doc_id", num_hashes=8, band_size=2)
+    pairs = dedup.lsh_candidate_pairs(bands, "doc_id")
+    ta = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
+    verified = (
+        pairs.join(ta, "a").join(tb, "b")
+        .filter(dedup.ngram_jaccard(F.col("text_a"), F.col("text_b")) >= 0.5)
+        .select("a", "b")
+    )
+    cc = dedup.connected_components(verified)
+    return cc.select(F.col("node").alias("doc_id"), "component")
+
+
 @_q("ann_lsh_topk")  # ANN recall is probabilistic vs brute force; rows-only
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbors (scale path)."""

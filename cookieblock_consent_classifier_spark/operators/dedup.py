@@ -145,6 +145,58 @@ def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "id") -> DataFrame:
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph — the
+    cluster-merge step after near-dup candidate verification (pairs
+    alone under-merge: A~B and B~C must collapse into one cluster even
+    when A~C was never generated).
+
+    Iterative min-label propagation: every node's label becomes the
+    min of its own and its neighbors' labels, repeated to fixpoint
+    (≤ graph diameter rounds, checked via a cheap count() action per
+    round, bounded by ``max_iters``). Each round is ONE hash
+    aggregation over the (symmetrized) edge list — the classic
+    MapReduce-CC shape; deterministic, resumable, no driver-side graph.
+
+    Returns (node, component) where component = min node id reachable.
+    Only nodes that appear in an edge are emitted (singletons need no
+    merging).
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    ).distinct()
+    # self-loops keep a node's own label in every min-aggregation
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    sym = sym.unionByName(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    )
+    labels = nodes.select("node", F.col("node").alias("component"))
+    for _ in range(max_iters):
+        # label(dst) <- min over incoming src labels (incl. self-loop)
+        proposed = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("component"))
+        )
+        changed = (
+            proposed.alias("p")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("p.component") != F.col("l.component"))
+            .count()
+        )
+        labels = proposed.localCheckpoint(eager=True)  # cut the lineage per round
+        if changed == 0:
+            break
+    return labels
+
+
 def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
     """Exact word-n-gram Jaccard similarity between two text columns —
     the verification predicate applied to LSH candidate pairs."""

@@ -134,3 +134,18 @@ def test_lsh_near_dup_recall(spark, embeddings):
     print(f"lsh_near_dup recall={recall:.3f} ({len(got_pairs)}/{len(exact_pairs)}), "
           f"exact scans {all_pairs} pairs")
     assert recall >= 0.85, recall  # measured 0.939 for 3 planes x 12 tables
+
+
+def test_connected_components_known_graph(spark):
+    """Chain + pair + triangle + long path (forces multiple
+    propagation rounds) → exact component assignment."""
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)]
+    edges += [(i, i + 1) for i in range(30, 42)]  # 13-node path
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {r["node"]: r["component"]
+           for r in dedup.connected_components(df).collect()}
+    assert {got[n] for n in (1, 2, 3)} == {1}
+    assert {got[n] for n in (10, 11)} == {10}
+    assert {got[n] for n in (20, 21, 22)} == {20}
+    assert {got[n] for n in range(30, 43)} == {30}
+    assert len(got) == 3 + 2 + 3 + 13
