@@ -214,6 +214,39 @@ def deterministic_centroids(
     )
 
 
+def ivf_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd refinement of IVF centroids: assign (the
+    shuffle-free ivf_assign) → per-cell mean (ONE hash aggregation;
+    the element-wise mean is dim native avg() expressions — plan width
+    O(dim), no explode) → repeat. Empty cells keep their previous
+    centroid (deterministic, no re-seeding). Returns refined
+    (centroid_id, vec) with the input's column names."""
+    cents = centroids
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        means = assigned.groupBy("cell").agg(
+            *[F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"__m{i}") for i in range(dim)]
+        ).select(
+            F.col("cell").alias("centroid_id"),
+            F.array(*[F.col(f"__m{i}") for i in range(dim)]).alias(vec_col),
+        )
+        prev = {int(r["centroid_id"]): list(r[vec_col])
+                for r in cents.select("centroid_id", vec_col).collect()}
+        new = {int(r["centroid_id"]): [float(x) for x in r[vec_col]]
+               for r in means.collect()}
+        merged = [(cid, new.get(cid, vec)) for cid, vec in sorted(prev.items())]
+        spark = corpus.sparkSession
+        cents = spark.createDataFrame(merged, ["centroid_id", vec_col])
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

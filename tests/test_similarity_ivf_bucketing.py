@@ -136,3 +136,32 @@ def test_bucketed_join_has_no_exchange(spark, events, orders, tmp_path):
         assert joined.count() == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+
+def test_ivf_refine_improves_objective_and_is_deterministic(spark, embeddings):
+    """Lloyd refinement must not increase the k-means objective
+    (Σ per-vector distance to its cell centroid under the assignment
+    metric) and must be bit-deterministic across runs."""
+    import math
+
+    def objective(cents_df):
+        assigned = similarity.ivf_assign(embeddings, cents_df)
+        cents = {int(r["centroid_id"]): [float(x) for x in r["embedding"]]
+                 for r in cents_df.collect()}
+        total = 0.0
+        for r in assigned.select("embedding", "cell").collect():
+            v = [float(x) for x in r["embedding"]]
+            c = cents[r["cell"]]
+            nv = math.sqrt(sum(x * x for x in v)) or 1.0
+            nc = math.sqrt(sum(x * x for x in c)) or 1.0
+            cos = sum(a * b for a, b in zip(v, c)) / (nv * nc)
+            total += 1.0 - cos
+        return total
+
+    base = similarity.deterministic_centroids(embeddings, 6)
+    refined = similarity.ivf_refine(embeddings, base, dim=64, iters=2)
+    assert objective(refined) <= objective(base) + 1e-9
+    refined2 = similarity.ivf_refine(embeddings, base, dim=64, iters=2)
+    a = sorted(map(tuple, ((r["centroid_id"], tuple(r["embedding"])) for r in refined.collect())))
+    b = sorted(map(tuple, ((r["centroid_id"], tuple(r["embedding"])) for r in refined2.collect())))
+    assert a == b
