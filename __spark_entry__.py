@@ -221,6 +221,38 @@ def q_asof_join_orders(spark, sf_dir):
 
 
 @_q(
+    "asof_join_tolerance",
+    """
+    SELECT e.event_id,
+           arg_max(o.o_orderkey, epoch(o.o_orderdate)::BIGINT * 10000000 + o.o_orderkey) AS orderkey_asof,
+           arg_max(o.o_totalprice, epoch(o.o_orderdate)::BIGINT * 10000000 + o.o_orderkey) AS totalprice_asof
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+         AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+    GROUP BY e.event_id
+    """,
+)
+def q_asof_join_tolerance(spark, sf_dir):
+    """as-of join with a 30-day staleness tolerance (pandas merge_asof
+    tolerance analogue): a matched order older than 30 days yields
+    nulls — same single-shuffle union+window plan, row-local age
+    predicate on the forward-filled dim timestamp."""
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
+    out = asof.asof_join(
+        ev, orders, on="user_id", fact_ts="ts", dim_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"], dim_order=["o_orderkey"],
+        tolerance_seconds=30 * 86400,
+    )
+    return out.select(
+        "event_id",
+        F.col("o_orderkey_asof").alias("orderkey_asof"),
+        F.col("o_totalprice_asof").alias("totalprice_asof"),
+    )
+
+
+@_q(
     "backfill",
     """
     SELECT event_id,

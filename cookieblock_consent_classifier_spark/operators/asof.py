@@ -46,9 +46,17 @@ def asof_join(
     strict: bool = False,
     dim_order: Sequence[str] = (),
     suffix: str = "_asof",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Return ``fact`` with ``<payload>{suffix}`` columns attached
     point-in-time-correctly. Facts with no prior dim state get nulls.
+
+    ``tolerance_seconds`` (pandas merge_asof ``tolerance`` analogue):
+    a matched dim row older than the tolerance yields nulls instead —
+    same single-shuffle plan, the staleness check is a row-local
+    predicate on the forward-filled dim timestamp. Assumes non-null
+    dim payload values (each payload column is forward-filled
+    independently, like the base join).
     """
     if not payload:
         raise ValueError("payload columns required")
@@ -90,5 +98,16 @@ def asof_join(
         filled = filled.withColumn(
             f"{p}{suffix}", F.last(f"__dim_{p}", ignorenulls=True).over(w)
         )
+    if tolerance_seconds is not None:
+        dim_ts_marker = F.when(F.col("__tag") == dim_tag, F.col("__ets"))
+        filled = filled.withColumn(
+            "__asof_ts", F.last(dim_ts_marker, ignorenulls=True).over(w)
+        )
+        age_ok = (
+            F.unix_micros(F.col(fact_ts).cast("timestamp"))
+            - F.unix_micros(F.col("__asof_ts").cast("timestamp"))
+        ) <= F.lit(int(tolerance_seconds * 1_000_000))
+        for p in payload:
+            filled = filled.withColumn(f"{p}{suffix}", F.when(age_ok, F.col(f"{p}{suffix}")))
     out_cols = fact_cols + [f"{p}{suffix}" for p in payload]
     return filled.filter(F.col("__tag") == fact_tag).select(*out_cols)

@@ -108,3 +108,35 @@ def test_asof_matches_naive_range_join_on_real_data(spark, events, orders):
         .count()
     )
     assert diff == 0
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, events, orders):
+    """tolerance must null exactly the matches older than the bound
+    (verified against the plain as-of + an explicit age check)."""
+    ords = orders.withColumnRenamed("o_custkey", "user_id")
+    plain = asof_join(
+        events, ords, on="user_id", fact_ts="ts", dim_ts="o_orderdate",
+        payload=["o_orderkey", "o_orderdate"], dim_order=["o_orderkey"],
+    )
+    tol = 30 * 86400
+    with_tol = asof_join(
+        events, ords, on="user_id", fact_ts="ts", dim_ts="o_orderdate",
+        payload=["o_orderkey"], dim_order=["o_orderkey"],
+        tolerance_seconds=tol,
+    )
+    p = {r["event_id"]: r for r in plain.collect()}
+    t = {r["event_id"]: r["o_orderkey_asof"] for r in with_tol.collect()}
+    assert set(p) == set(t)
+    n_stale = 0
+    for eid, row in p.items():
+        if row["o_orderkey_asof"] is None:
+            assert t[eid] is None
+            continue
+        age = (row["ts"] - __import__("datetime").datetime.combine(
+            row["o_orderdate_asof"], __import__("datetime").time())).total_seconds()
+        if age <= tol:
+            assert t[eid] == row["o_orderkey_asof"], eid
+        else:
+            assert t[eid] is None, eid
+            n_stale += 1
+    assert n_stale > 0, "fixture must exercise the tolerance cut"
