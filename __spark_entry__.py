@@ -253,6 +253,83 @@ def q_asof_join_tolerance(spark, sf_dir):
 
 
 @_q(
+    "rolling_time_sum",
+    """
+    SELECT event_id,
+           round(sum(value) OVER w, 6) AS roll_sum,
+           count(value) OVER w AS roll_n,
+           round(avg(value) OVER w, 6) AS roll_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_time_sum(spark, sf_dir):
+    """Trailing 1-hour time-RANGE aggregates per entity
+    (temporal.rolling_time_agg): the standard rolling-feature op —
+    one entity shuffle, O(n) sliding frame."""
+    ev = _t(spark, sf_dir, "events")
+    out = temporal.rolling_time_agg(ev, "user_id", "ts", "value", 3600.0)
+    return out.select(
+        "event_id",
+        F.round("rolling_sum", 6).alias("roll_sum"),
+        F.col("rolling_count").alias("roll_n"),
+        F.round("rolling_avg", 6).alias("roll_avg"),
+    )
+
+
+@_q(
+    "interpolate_linear",
+    """
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN substr(md5(event_id::VARCHAR), 1, 1) IN ('0','1','2','3','4','5')
+                  THEN value END AS v,
+             epoch_us(ts) AS tm
+      FROM events
+    ), f AS (
+      SELECT event_id, v, tm,
+             last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tm
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+             last_value(CASE WHEN v IS NOT NULL THEN tm END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tm
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+             first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tm
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+             first_value(CASE WHEN v IS NOT NULL THEN tm END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tm
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+      FROM g
+    )
+    SELECT event_id,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN v0 IS NOT NULL AND v1 IS NOT NULL
+                      THEN v0 + (v1 - v0) * (tm - t0)::DOUBLE / (t1 - t0)::DOUBLE
+                 END, 6) AS v_interp
+    FROM f
+    """,
+)
+def q_interpolate_linear(spark, sf_dir):
+    """Linear time-interpolation of missing values
+    (temporal.interpolate_linear) — a deterministic md5-keyed 6/16 of
+    values are masked NULL, then filled between brackets; leading/
+    trailing gaps stay NULL."""
+    ev = _t(spark, sf_dir, "events")
+    masked = ev.withColumn(
+        "v",
+        F.when(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+            .isin(*"012345"),
+            F.col("value"),
+        ),
+    )
+    out = temporal.interpolate_linear(masked, "user_id", "ts", "v")
+    return out.select("event_id", F.round("v_interp", 6).alias("v_interp"))
+
+
+@_q(
     "backfill",
     """
     SELECT event_id,

@@ -158,3 +158,74 @@ def flag_changed(col: str | Column, entity_col: str, order_cols: Sequence[str]) 
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.when(F.min(c) != F.max(c), F.lit(1.0))
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    agg_col: str,
+    window_seconds: float,
+    aggs: Sequence[str] = ("sum", "count", "avg"),
+    prefix: str = "rolling",
+) -> DataFrame:
+    """Trailing time-RANGE window aggregates: for every row, aggregate
+    ``agg_col`` over the entity's rows with ts in
+    [row.ts - window_seconds, row.ts] (both ends inclusive — matching
+    SQL RANGE ... PRECEDING AND CURRENT ROW).
+
+    Uses Window.rangeBetween over epoch MICROseconds (rangeBetween
+    needs a numeric ordering key; micros keep sub-second precision
+    exactly). Same single entity shuffle as every other temporal op —
+    the range frame is evaluated inside the sorted partition with a
+    sliding two-pointer, O(n) per entity."""
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(micros)
+        .rangeBetween(-int(window_seconds * 1_000_000), 0)
+    )
+    fns = {"sum": F.sum, "count": F.count, "avg": F.avg, "min": F.min, "max": F.max}
+    out = df
+    for a in aggs:
+        out = out.withColumn(f"{prefix}_{a}", fns[a](agg_col).over(w))
+    return out
+
+
+def interpolate_linear(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear time-interpolation of missing values: a NULL at time t
+    between the entity's previous known (t0, v0) and next known
+    (t1, v1) becomes v0 + (v1 - v0)·(t - t0)/(t1 - t0). Known values
+    pass through; leading/trailing NULLs (no bracket on one side) stay
+    NULL — use backfill/ffill for edge policy.
+
+    Two frames over the SAME partitioning (one shuffle): trailing
+    last-known and leading first-known, both (value, ts) pairs."""
+    out_col = out_col or f"{value_col}_interp"
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    known_v = F.when(F.col(value_col).isNotNull(), F.col(value_col))
+    known_t = F.when(F.col(value_col).isNotNull(), micros)
+    w_prev = (
+        Window.partitionBy(entity_col).orderBy(micros)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(entity_col).orderBy(micros)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v0 = F.last(known_v, ignorenulls=True).over(w_prev)
+    t0 = F.last(known_t, ignorenulls=True).over(w_prev)
+    v1 = F.first(known_v, ignorenulls=True).over(w_next)
+    t1 = F.first(known_t, ignorenulls=True).over(w_next)
+    frac = (micros - t0).cast("double") / (t1 - t0).cast("double")
+    interp = v0 + (v1 - v0) * frac
+    filled = F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
+        F.when(v0.isNotNull() & v1.isNotNull(), interp)
+    )
+    return df.withColumn(out_col, filled)
