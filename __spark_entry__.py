@@ -1536,6 +1536,23 @@ def q_dedup_clusters_cc(spark, sf_dir):
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 
+@_q("approx_stats")  # sketch outputs are engine-specific; rows-only +
+# error-bound units (test_dedup_similarity.test_approx_stats_error_bounds)
+def q_approx_stats(spark, sf_dir):
+    """Sketch-based scale ops: HLL++ distinct counts and
+    Greenwald-Khanna approximate quantiles per event type — the
+    constant-memory stand-ins for exact distinct/percentile at 100 TB.
+    Deterministic for a given input (no RNG); accuracy vs exact is
+    pinned by unit test, not an oracle (sketch internals are
+    engine-specific by nature)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("value_q"),
+        F.count("*").alias("n"),
+    )
+
+
 @_q("ann_lsh_topk")  # ANN recall is probabilistic vs brute force; rows-only
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbors (scale path)."""

@@ -149,3 +149,28 @@ def test_connected_components_known_graph(spark):
     assert {got[n] for n in (20, 21, 22)} == {20}
     assert {got[n] for n in range(30, 43)} == {30}
     assert len(got) == 3 + 2 + 3 + 13
+
+
+def test_approx_stats_error_bounds(spark, events):
+    """Sketch accuracy vs exact: HLL++ (rsd=0.02) within 5% on distinct
+    users; GK quantiles within the rank tolerance of exact
+    percentiles."""
+    approx = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type").agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
+            F.percentile_approx("value", [0.5, 0.95], 10_000).alias("q"),
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type").agg(
+            F.count_distinct("user_id").alias("u"),
+            F.expr("percentile(value, array(0.5, 0.95))").alias("q"),
+        ).collect()
+    }
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a["au"] - e["u"]) <= max(1, 0.05 * e["u"]), et
+        for qa, qe in zip(a["q"], e["q"]):
+            assert abs(qa - qe) <= 0.05 * max(1.0, abs(qe)), (et, qa, qe)
