@@ -1734,6 +1734,26 @@ def q_ann_ivf_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
+@_q("audio_pipeline")  # synthesized binary payloads: no SQL twin
+def q_audio_pipeline(spark, sf_dir):
+    """Multimodal audio leg: deterministic PCM-16 WAV payloads (REAL
+    RIFF container, stdlib codec) → Arrow-batched decode + quality
+    features (duration/RMS/peak/zero-crossing/clip ratio) → quality
+    filter. functions/audio.py; mirrors the image pipeline shape."""
+    from cookieblock_consent_classifier_spark.functions import audio as A
+
+    ids = spark.range(200).select(
+        F.concat(F.lit("au"), F.col("id")).alias("audio_id")
+    )
+    waves = ids.withColumn("bytes", A.synth_wav_udf(F.col("audio_id")))
+    feats = A.extract_audio_features(waves)
+    return feats.filter(F.col("rms") > 0.1).select(
+        "audio_id", F.round("duration_s", 6).alias("duration_s"),
+        "sample_rate", "channels",
+        F.round("rms", 6).alias("rms"), F.round("zcr", 6).alias("zcr"),
+    )
+
+
 @_q("image_pipeline")  # synthesized binary payloads: no SQL twin
 def q_image_pipeline(spark, sf_dir):
     """north-rule image+caption pipeline on the synthesized table:
