@@ -318,21 +318,49 @@ def extract_image_features(df: DataFrame, bytes_col: str = "bytes"):
     return df.mapInPandas(gen, schema=out_schema)
 
 
+_VIDEO_MAGIC = b"SGVC"
+
+
+def encode_video_frames(frames: list[np.ndarray]) -> bytes:
+    """Multi-frame container: magic + frame count + length-prefixed
+    REAL PNG frames. Stands in for a video file at the Spark-plumbing
+    level (binary column → per-frame decode); compressed video codecs
+    are not available in this container."""
+    parts = [_VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for px in frames:
+        payload = encode_png_gray(px)
+        parts.append(struct.pack("<I", len(payload)))
+        parts.append(payload)
+    return b"".join(parts)
+
+
+def decode_video_frames(payload: bytes) -> list[bytes]:
+    """Split the container back into per-frame PNG payloads. A bare
+    single-image payload (PNG or synthetic) is treated as one frame."""
+    if payload[:4] != _VIDEO_MAGIC:
+        return [bytes(payload)]
+    (n,) = struct.unpack("<I", payload[4:8])
+    pos = 8
+    frames = []
+    for _ in range(n):
+        (ln,) = struct.unpack("<I", payload[pos:pos + 4])
+        frames.append(bytes(payload[pos + 4:pos + 4 + ln]))
+        pos += 4 + ln
+    return frames
+
+
 def frame_sample_udf(every_n: int = 2):
-    """Frame-sampling plumbing for video-shaped payloads: treats the
-    payload as a container of stacked frames (our stub codec: one
-    frame) and returns the sampled frame payloads. Real video decode
-    is NOT available in this container — the codec raises
-    NotImplementedError for unknown formats (encode_image) — but the
-    Spark-side shape (binary → array<binary>) is the real contract.
-    """
+    """Frame sampling for video-shaped payloads: parse the multi-frame
+    container, keep every ``every_n``-th frame (0, n, 2n, …) as its
+    own single-image payload — the standard video→training-frames
+    step. Output shape: binary → array<binary>; bare single-image
+    payloads pass through as one frame."""
 
     @pandas_udf(T.ArrayType(T.BinaryType()))
     def _udf(payload: pd.Series) -> pd.Series:
         def one(b):
-            # single-frame container: sampling yields frame 0 when
-            # selected by the cadence
-            return [bytes(b)] if every_n >= 1 else []
+            frames = decode_video_frames(bytes(b))
+            return frames[::max(1, every_n)]
 
         return payload.map(one, na_action="ignore")
 

@@ -133,3 +133,29 @@ def test_png_crc_corruption_detected():
     payload[40] ^= 0xFF  # flip a byte inside IDAT
     with _pt.raises(ValueError, match="CRC"):
         I.decode_image(bytes(payload))
+
+
+def test_video_container_frame_sampling(spark):
+    """Multi-frame container round-trip + every-n sampling through the
+    Arrow UDF; sampled frames decode to the original pixels."""
+    import numpy as np
+    from cookieblock_consent_classifier_spark.functions import image as I
+
+    frames = [I.synth_pixels("vid0", i, 12, 8) for i in range(7)]
+    payload = I.encode_video_frames(frames)
+    parts = I.decode_video_frames(payload)
+    assert len(parts) == 7
+    for px, raw in zip(frames, parts):
+        assert np.array_equal(I.decode_image(raw), px)
+
+    df = spark.createDataFrame([("vid0", bytearray(payload))], ["video_id", "bytes"])
+    out = df.select(I.frame_sample_udf(every_n=3)("bytes").alias("fr")).first()
+    sampled = out["fr"]
+    assert len(sampled) == 3  # frames 0, 3, 6
+    for k, raw in zip((0, 3, 6), sampled):
+        assert np.array_equal(I.decode_image(bytes(raw)), frames[k])
+    # bare single image passes through as one frame
+    single = I.encode_image(frames[0], "png")
+    df2 = spark.createDataFrame([("i0", bytearray(single))], ["video_id", "bytes"])
+    out2 = df2.select(I.frame_sample_udf(every_n=2)("bytes").alias("fr")).first()
+    assert len(out2["fr"]) == 1
