@@ -1687,6 +1687,36 @@ def q_random_search_best(spark, sf_dir):
     )
 
 
+@_q("ann_ivf_refined_topk")  # Lloyd-refined routing: approximate; rows-only
+def q_ann_ivf_refined_topk(spark, sf_dir):
+    """IVF ANN with Lloyd-refined centroids (similarity.ivf_refine):
+    same nprobe probing, better-centered cells. Objective monotonicity
+    and bit-determinism pinned in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = similarity.deterministic_centroids(emb, 8)
+    refined = similarity.ivf_refine(emb, base, dim=64, iters=1)
+    assigned = similarity.ivf_assign(emb, refined)
+    q = emb.filter(F.col("vec_id") < 10)
+    c = refined.select("centroid_id", F.col("embedding").alias("__cvec"))
+    qq = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    q_cells = (
+        qq.crossJoin(F.broadcast(c))
+        .withColumn("__sim", similarity.cosine(F.col("q_vec"), F.col("__cvec")))
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("centroid_id"))))
+        .filter(F.col("__rn") <= 2)
+        .select("query_id", "q_vec", F.col("centroid_id").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.round(similarity.cosine(F.col("q_vec"), F.col("embedding")), 4).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
 @_q("cookie_pipeline_fullwidth")  # golden-parity surface: no SQL twin
 def q_cookie_pipeline_fullwidth(spark, sf_dir):
     """Full-declared-width extraction: the reference's REAL

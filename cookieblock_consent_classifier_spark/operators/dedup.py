@@ -150,23 +150,55 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iters: int = 25,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair graph — the
     cluster-merge step after near-dup candidate verification (pairs
     alone under-merge: A~B and B~C must collapse into one cluster even
     when A~C was never generated).
 
-    Iterative min-label propagation: every node's label becomes the
-    min of its own and its neighbors' labels, repeated to fixpoint
-    (≤ graph diameter rounds, checked via a cheap count() action per
-    round, bounded by ``max_iters``). Each round is ONE hash
-    aggregation over the (symmetrized) edge list — the classic
-    MapReduce-CC shape; deterministic, resumable, no driver-side graph.
+    ADAPTIVE execution: the verified-pair graph is typically orders of
+    magnitude smaller than the corpus (that is the point of LSH), so
+    below ``small_graph_threshold`` edges the exact min-root
+    union-find runs driver-side (milliseconds; an iterative Spark loop
+    would pay several whole-cluster job rounds for a graph that fits
+    in one task). Above the threshold: distributed min-label
+    propagation with pointer jumping — every node's label becomes the
+    min of its own and its neighbors' labels, then follows the new
+    label one more hop (halves rounds on chains); per-round
+    localCheckpoint cuts the lineage; convergence checked against the
+    previous (already-materialized) labels; bounded by ``max_iters``.
+    The classic MapReduce-CC shape; deterministic and resumable.
 
     Returns (node, component) where component = min node id reachable.
     Only nodes that appear in an edge are emitted (singletons need no
     merging).
     """
+    spark = edges.sparkSession
+    # materialize the (typically expensive) verified-pair lineage ONCE;
+    # the size probe and the subsequent path both read local blocks
+    edges = edges.select(a_col, b_col).localCheckpoint(eager=True)
+    n_edges = edges.count()
+    if n_edges <= small_graph_threshold:
+        pairs = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in pairs:
+            ra, rb = find(r[a_col]), find(r[b_col])
+            if ra != rb:  # min id becomes the root -> component = min reachable
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = {x for r in pairs for x in (r[a_col], r[b_col])}
+        out = [(n, find(n)) for n in sorted(nodes)]
+        return spark.createDataFrame(out, ["node", "component"])
     sym = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionByName(
@@ -177,7 +209,12 @@ def connected_components(
     sym = sym.unionByName(
         nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
     )
-    labels = nodes.select("node", F.col("node").alias("component"))
+    # materialize the symmetrized edge list (input edges are already
+    # checkpointed above; this adds the self-loops + reversals once)
+    sym = sym.localCheckpoint(eager=True)
+    labels = nodes.select("node", F.col("node").alias("component")).localCheckpoint(
+        eager=True
+    )
     for _ in range(max_iters):
         # label(dst) <- min over incoming src labels (incl. self-loop)
         proposed = (
@@ -185,13 +222,27 @@ def connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("component"))
         )
+        # pointer jumping: follow the proposed label one more hop
+        # (component <- proposed[component], monotonically ≤) — halves
+        # the number of rounds on chain-shaped clusters
+        hop = proposed.select(
+            F.col("node").alias("__pn"), F.col("component").alias("__pc")
+        )
+        jumped = (
+            proposed.join(hop, proposed.component == hop.__pn, "left")
+            .select("node", F.coalesce("__pc", "component").alias("component"))
+        )
+        # materialize ONCE per round, then the convergence check is a
+        # cheap scan over local blocks (checkpoint first — counting the
+        # lazy frame would execute the round twice)
+        new_labels = jumped.localCheckpoint(eager=True)
         changed = (
-            proposed.alias("p")
+            new_labels.alias("p")
             .join(labels.alias("l"), "node")
             .filter(F.col("p.component") != F.col("l.component"))
             .count()
         )
-        labels = proposed.localCheckpoint(eager=True)  # cut the lineage per round
+        labels = new_labels
         if changed == 0:
             break
     return labels

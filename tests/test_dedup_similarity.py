@@ -142,8 +142,16 @@ def test_connected_components_known_graph(spark):
     edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)]
     edges += [(i, i + 1) for i in range(30, 42)]  # 13-node path
     df = spark.createDataFrame(edges, ["a", "b"])
-    got = {r["node"]: r["component"]
-           for r in dedup.connected_components(df).collect()}
+    # exercise BOTH execution paths: driver union-find (default
+    # threshold) and the distributed min-label loop (threshold=0)
+    for thresh in (1_000_000, 0):
+        got = {r["node"]: r["component"]
+               for r in dedup.connected_components(
+                   df, small_graph_threshold=thresh).collect()}
+        _check(got)
+
+
+def _check(got):
     assert {got[n] for n in (1, 2, 3)} == {1}
     assert {got[n] for n in (10, 11)} == {10}
     assert {got[n] for n in (20, 21, 22)} == {20}
