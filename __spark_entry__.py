@@ -1557,7 +1557,8 @@ def q_approx_stats(spark, sf_dir):
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbors (scale path)."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
+    out = similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5,
+                              num_planes=3, num_tables=12)
     return out.select("query_id", "neighbor_id", "cos_sim", "rank")
 
 

@@ -300,24 +300,40 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     num_planes: int = 6,
+    num_tables: int = 1,
     round_to: int = 4,
+    seed: int = 7,
 ) -> DataFrame:
     """ANN top-k: score only bucket-mates. Recall < 1 by design; the
-    candidate join is an equi-join on the bucket key (shuffle ∝ bucket
-    sizes, never |corpus|×|queries|)."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        hyperplane_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        hyperplane_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
-    )
+    candidate join is an equi-join on (table, bucket) keys (shuffle ∝
+    bucket sizes, never |corpus|×|queries|). ``num_tables``
+    independent hash tables trade candidate volume for recall —
+    measured in tests/test_dedup_similarity.py::test_lsh_topk_recall."""
+    def sides(df, id_alias, vec_alias):
+        cols = []
+        for t in range(num_tables):
+            cols.append(
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    hyperplane_bucket(
+                        F.col(vec_col), dim, num_planes, seed=seed + 1009 * t
+                    ).alias("bucket"),
+                )
+            )
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            F.explode(F.array(*cols)).alias("tb"),
+        ).select(id_alias, vec_alias, F.col("tb.tbl").alias("tbl"),
+                 F.col("tb.bucket").alias("bucket"))
+
+    c = sides(corpus, "neighbor_id", "c_vec")
+    q = sides(queries, "query_id", "q_vec")
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
