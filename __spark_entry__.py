@@ -65,21 +65,33 @@ def _us(col) -> F.Column:  # epoch microseconds, engine-portable
 @_q(
     "update_count",
     """
+    WITH r AS (
+      SELECT user_id, props, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
     SELECT user_id,
            count(*)::BIGINT AS n_updates,
            min(epoch_us(ts)) AS first_us,
-           max(epoch_us(ts)) AS last_us
-    FROM events GROUP BY user_id
+           max(epoch_us(ts)) AS last_us,
+           max(CASE WHEN rn_a = 1 THEN props END) AS first_props,
+           max(CASE WHEN rn_d = 1 THEN props END) AS last_props
+    FROM r GROUP BY user_id
     """,
 )
 def q_update_count(spark, sf_dir):
     """feature_update_count (processor.py:765-770) generalized with
-    first/last event time."""
+    first/last event time PLUS first/last update payload per entity
+    (feature_host_only_first_update pattern, processor.py:804-810) —
+    min_by/max_by in the same single groupBy, no window needed."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
         F.count("*").alias("n_updates"),
         F.min(_us("ts")).alias("first_us"),
         F.max(_us("ts")).alias("last_us"),
+        F.min_by("props", F.struct("ts", "event_id")).alias("first_props"),
+        F.max_by("props", F.struct("ts", "event_id")).alias("last_props"),
     )
 
 
@@ -195,8 +207,15 @@ def q_sessionize(spark, sf_dir):
     "asof_join_orders",
     """
     SELECT e.event_id,
-           arg_max(o.o_orderkey, epoch(o.o_orderdate)::BIGINT * 10000000 + o.o_orderkey) AS orderkey_asof,
-           arg_max(o.o_totalprice, epoch(o.o_orderdate)::BIGINT * 10000000 + o.o_orderkey) AS totalprice_asof
+           arg_max(CASE WHEN o.o_orderdate <= e.ts THEN o.o_orderkey END,
+                   CASE WHEN o.o_orderdate <= e.ts
+                        THEN epoch(o.o_orderdate)::BIGINT * 10000000 + o.o_orderkey END) AS orderkey_asof,
+           arg_max(CASE WHEN o.o_orderdate <= e.ts THEN o.o_totalprice END,
+                   CASE WHEN o.o_orderdate <= e.ts
+                        THEN epoch(o.o_orderdate)::BIGINT * 10000000 + o.o_orderkey END) AS totalprice_asof,
+           arg_max(CASE WHEN o.o_orderdate < e.ts THEN o.o_orderkey END,
+                   CASE WHEN o.o_orderdate < e.ts
+                        THEN epoch(o.o_orderdate)::BIGINT * 10000000 + o.o_orderkey END) AS orderkey_strict
     FROM events e
     LEFT JOIN orders o
       ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
@@ -206,17 +225,21 @@ def q_sessionize(spark, sf_dir):
 def q_asof_join_orders(spark, sf_dir):
     """Point-in-time as-of join (north rule; SURVEY §2.6): latest
     order state at each event, zero leakage, deterministic tie-break
-    by orderkey."""
+    by orderkey — BOTH inclusive and strict (exclusive) boundary
+    semantics from the same single union+window shuffle
+    (also_strict_suffix: one exchange, two sort orders)."""
     ev = _t(spark, sf_dir, "events")
     orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
     out = asof.asof_join(
         ev, orders, on="user_id", fact_ts="ts", dim_ts="o_orderdate",
         payload=["o_orderkey", "o_totalprice"], dim_order=["o_orderkey"],
+        also_strict_suffix="_strict",
     )
     return out.select(
         "event_id",
         F.col("o_orderkey_asof").alias("orderkey_asof"),
         F.col("o_totalprice_asof").alias("totalprice_asof"),
+        F.col("o_orderkey_strict").alias("orderkey_strict"),
     )
 
 
@@ -398,14 +421,40 @@ def q_phash_delta(spark, sf_dir):
                 THEN 1.0 ELSE -1.0 END AS f_hex,
            CASE WHEN trim(text) = '' THEN 1.0 ELSE -1.0 END AS f_empty,
            strlen(text)::BIGINT AS byte_len,
-           len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
-    FROM documents
+           len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+           CASE WHEN ver = '1' THEN 1.0 ELSE -1.0 END AS uuid_v1,
+           CASE WHEN ver = '2' THEN 1.0 ELSE -1.0 END AS uuid_v2,
+           CASE WHEN ver = '3' THEN 1.0 ELSE -1.0 END AS uuid_v3,
+           CASE WHEN ver = '4' THEN 1.0 ELSE -1.0 END AS uuid_v4,
+           CASE WHEN ver = '5' THEN 1.0 ELSE -1.0 END AS uuid_v5,
+           CASE WHEN ver <> '' AND ver NOT IN ('1','2','3','4','5') THEN 1.0 ELSE -1.0 END AS uuid_other
+    FROM (
+      SELECT *,
+             regexp_extract(
+               substr(md5(text), 1, 8) || '-' || substr(md5(text), 9, 4) || '-' ||
+               substr(md5(text), 13, 4) || '-' || substr(md5(text), 17, 4) || '-' ||
+               substr(md5(text), 21, 12),
+               '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-([0-9a-fA-F])[0-9a-fA-F]{3}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+               1) AS ver
+      FROM documents
+    )
     """,
 )
 def q_content_flags(spark, sf_dir):
     """regex detector features #24-28 + content length + token count
-    (processor.py:1386-1470, 1052-1059)."""
+    (processor.py:1386-1470, 1052-1059) + feature_canonical_uuid
+    version one-hot (processor.py:1430-1458) over md5-derived
+    uuid-shaped strings (deterministic both engines) — all row-wise
+    native expressions over one documents scan."""
     docs = _t(spark, sf_dir, "documents")
+    h = F.md5("text")
+    fake_uuid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8), F.substring(h, 9, 4), F.substring(h, 13, 4),
+        F.substring(h, 17, 4), F.substring(h, 21, 12),
+    )
+    uuid_cols = native.uuid_version_onehot(fake_uuid)
+    uuid_names = ["uuid_v1", "uuid_v2", "uuid_v3", "uuid_v4", "uuid_v5", "uuid_other"]
     return docs.select(
         "doc_id",
         native.boolean_content("text").alias("f_bool"),
@@ -416,6 +465,7 @@ def q_content_flags(spark, sf_dir):
         native.empty_content("text").alias("f_empty"),
         F.octet_length("text").cast("long").alias("byte_len"),
         TX.token_count("text").alias("n_tokens"),
+        *[c.alias(n) for c, n in zip(uuid_cols, uuid_names)],
     )
 
 
@@ -430,77 +480,28 @@ def q_content_flags(spark, sf_dir):
            CASE WHEN value * 10000 >= 604800.0 AND value * 10000 <= 2592000.0 THEN 1.0 ELSE -1.0 END AS b4,
            CASE WHEN value * 10000 >= 2592000.0 AND value * 10000 <= 15552000.0 THEN 1.0 ELSE -1.0 END AS b5,
            CASE WHEN value * 10000 >= 15552000.0 AND value * 10000 <= 46656000.0 THEN 1.0 ELSE -1.0 END AS b6,
-           CASE WHEN value * 10000 >= 46656000.0 THEN 1.0 ELSE -1.0 END AS b7
-    FROM events
-    """,
-)
-def q_expiry_buckets(spark, sf_dir):
-    """feature_expiry_extra buckets (processor.py:1029-1050): dense ±1,
-    bucket 0 strict upper, interior boundaries overlapping — over a
-    pseudo-expiry derived from events.value."""
-    ev = _t(spark, sf_dir, "events").withColumn("exp_s", F.col("value") * 10000)
-    cols = native.expiry_buckets("exp_s")
-    return ev.select("event_id", *[c.alias(f"b{i}") for i, c in enumerate(cols)])
-
-
-@_q(
-    "onehot_event_type",
-    """
-    SELECT event_id,
+           CASE WHEN value * 10000 >= 46656000.0 THEN 1.0 ELSE -1.0 END AS b7,
            CASE WHEN event_type = 'click' THEN 1.0 ELSE -1.0 END AS oh_click,
            CASE WHEN event_type = 'view' THEN 1.0 ELSE -1.0 END AS oh_view,
            CASE WHEN event_type = 'purchase' THEN 1.0 ELSE -1.0 END AS oh_purchase
     FROM events
     """,
 )
-def q_onehot_event_type(spark, sf_dir):
-    """feature_same_site-style ±1 one-hot (processor.py:1007-1020)."""
-    ev = _t(spark, sf_dir, "events")
-    cols = native.one_hot("event_type", ["click", "view", "purchase"])
-    names = ["oh_click", "oh_view", "oh_purchase"]
-    return ev.select("event_id", *[c.alias(n) for c, n in zip(cols, names)])
-
-
-@_q(
-    "uuid_onehot",
-    """
-    WITH u AS (
-      SELECT doc_id,
-             substr(md5(text), 1, 8) || '-' || substr(md5(text), 9, 4) || '-' ||
-             substr(md5(text), 13, 4) || '-' || substr(md5(text), 17, 4) || '-' ||
-             substr(md5(text), 21, 12) AS fake_uuid
-      FROM documents
-    ), x AS (
-      SELECT doc_id,
-             regexp_extract(fake_uuid,
-               '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-([0-9a-fA-F])[0-9a-fA-F]{3}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
-               1) AS ver
-      FROM u
+def q_expiry_buckets(spark, sf_dir):
+    """feature_expiry_extra buckets (processor.py:1029-1050): dense ±1,
+    bucket 0 strict upper, interior boundaries overlapping — over a
+    pseudo-expiry derived from events.value; PLUS the
+    feature_same_site-style ±1 one-hot (processor.py:1007-1020) over
+    event_type, in the same single events scan."""
+    ev = _t(spark, sf_dir, "events").withColumn("exp_s", F.col("value") * 10000)
+    cols = native.expiry_buckets("exp_s")
+    oh = native.one_hot("event_type", ["click", "view", "purchase"])
+    oh_names = ["oh_click", "oh_view", "oh_purchase"]
+    return ev.select(
+        "event_id",
+        *[c.alias(f"b{i}") for i, c in enumerate(cols)],
+        *[c.alias(n) for c, n in zip(oh, oh_names)],
     )
-    SELECT doc_id,
-           CASE WHEN ver = '1' THEN 1.0 ELSE -1.0 END AS uuid_v1,
-           CASE WHEN ver = '2' THEN 1.0 ELSE -1.0 END AS uuid_v2,
-           CASE WHEN ver = '3' THEN 1.0 ELSE -1.0 END AS uuid_v3,
-           CASE WHEN ver = '4' THEN 1.0 ELSE -1.0 END AS uuid_v4,
-           CASE WHEN ver = '5' THEN 1.0 ELSE -1.0 END AS uuid_v5,
-           CASE WHEN ver <> '' AND ver NOT IN ('1','2','3','4','5') THEN 1.0 ELSE -1.0 END AS uuid_other
-    FROM x
-    """,
-)
-def q_uuid_onehot(spark, sf_dir):
-    """feature_canonical_uuid version one-hot (processor.py:1430-1458)
-    over md5-derived uuid-shaped strings (deterministic both engines)."""
-    docs = _t(spark, sf_dir, "documents")
-    h = F.md5("text")
-    fake_uuid = F.concat_ws(
-        "-",
-        F.substring(h, 1, 8), F.substring(h, 9, 4), F.substring(h, 13, 4),
-        F.substring(h, 17, 4), F.substring(h, 21, 12),
-    )
-    u = docs.select("doc_id", fake_uuid.alias("fake_uuid"))
-    cols = native.uuid_version_onehot("fake_uuid")
-    names = ["uuid_v1", "uuid_v2", "uuid_v3", "uuid_v4", "uuid_v5", "uuid_other"]
-    return u.select("doc_id", *[c.alias(n) for c, n in zip(cols, names)])
 
 
 @_q(
@@ -868,6 +869,55 @@ def q_bayes_decision(spark, sf_dir):
 
 
 @_q(
+    "predict_histogram",
+    """
+    WITH s AS (
+      SELECT vec_id, md5(vec_id::VARCHAR) AS name,
+             CAST(embedding[1] AS DOUBLE) AS p0, CAST(embedding[2] AS DOUBLE) AS p1,
+             CAST(embedding[3] AS DOUBLE) AS p2, CAST(embedding[4] AS DOUBLE) AS p3
+      FROM embeddings
+    ), d AS (
+      SELECT vec_id, name,
+             p0*0.0 + p1*1.0 + p2*2.0 + p3*3.0 AS d0,
+             p0*1.0 + p1*0.0 + p2*1.0 + p3*2.0 AS d1,
+             p0*2.0 + p1*1.0 + p2*0.0 + p3*1.0 AS d2,
+             p0*3.0 + p1*2.0 + p2*1.0 + p3*0.0 AS d3
+      FROM s
+    ), p AS (
+      SELECT name,
+             CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                  WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                  WHEN d2 <= d3 THEN 2 ELSE 3 END AS predicted_label
+      FROM d
+    )
+    SELECT predicted_label, count(*)::BIGINT AS n
+    FROM p WHERE name LIKE 'a%' GROUP BY predicted_label
+    """,
+)
+def q_predict_histogram(spark, sf_dir):
+    """consent-cookie prediction histogram (predict_class.py:152-161):
+    join predictions to entity names, filter by a CMP name prefix,
+    histogram the predicted labels — through the REAL
+    predict.consent_histogram operator. The prediction itself is the
+    oracle-portable Bayesian decision over the embedding's first four
+    components (same as `bayes_decision`); names are md5-derived so
+    the prefix filter is deterministic in both engines."""
+    from cookieblock_consent_classifier_spark import predict as P
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probs = F.array(*[F.element_at(F.col("embedding"), i + 1).cast("double") for i in range(4)])
+    pred = emb.select(
+        F.col("vec_id").alias("entity_id"),
+        P.bayesian_decision(probs).alias("predicted_label"),
+    )
+    entities = emb.select(
+        F.col("vec_id").alias("entity_id"),
+        F.md5(F.col("vec_id").cast("string")).alias("name"),
+    )
+    return P.consent_histogram(pred, entities, "a")
+
+
+@_q(
     "confidence_stats",
     """
     SELECT label,
@@ -914,29 +964,6 @@ def q_hash_split_8020(spark, sf_dir):
 
 
 @_q(
-    "asof_join_strict",
-    """
-    SELECT e.event_id,
-           arg_max(o.o_orderkey, epoch(o.o_orderdate)::BIGINT * 10000000 + o.o_orderkey) AS orderkey_strict
-    FROM events e
-    LEFT JOIN orders o
-      ON o.o_custkey = e.user_id AND o.o_orderdate < e.ts
-    GROUP BY e.event_id
-    """,
-)
-def q_asof_join_strict(spark, sf_dir):
-    """strict (exclusive) as-of variant: dim state at exactly fact.ts
-    must NOT be visible."""
-    ev = _t(spark, sf_dir, "events")
-    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
-    out = asof.asof_join(
-        ev, orders, on="user_id", fact_ts="ts", dim_ts="o_orderdate",
-        payload=["o_orderkey"], dim_order=["o_orderkey"], strict=True,
-    )
-    return out.select("event_id", F.col("o_orderkey_asof").alias("orderkey_strict"))
-
-
-@_q(
     "salted_agg",
     """
     SELECT user_id,
@@ -963,90 +990,39 @@ def q_salted_agg(spark, sf_dir):
 
 
 @_q(
-    "running_sum",
+    "window_sequence",
     """
     SELECT event_id,
            round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING), 4) AS running_value
+                                  ROWS UNBOUNDED PRECEDING), 4) AS running_value,
+           round(CASE WHEN max(value) OVER wp > min(value) OVER wp
+                      THEN (value - min(value) OVER wp) / (max(value) OVER wp - min(value) OVER wp)
+                 END, 6) AS value_norm,
+           lead(event_type) OVER ws AS next_type,
+           round(epoch_us(lead(ts) OVER ws) / 1e6 - epoch_us(ts) / 1e6, 4) AS secs_to_next
     FROM events
+    WINDOW wp AS (PARTITION BY user_id),
+           ws AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
-def q_running_sum(spark, sf_dir):
-    """running cumulative aggregate per entity (unbounded-preceding
-    frame — the same frame family as backfill)."""
+def q_window_sequence(spark, sf_dir):
+    """per-entity window-sequence features in ONE scan + ONE entity
+    shuffle: running cumulative sum (unbounded-preceding frame, the
+    backfill frame family), min-max normalization (whole-partition
+    frame), and lead (forward-looking) next-event features — the two
+    window specs share the partitioning, so Catalyst plans a single
+    exchange with two sorts."""
     ev = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id").orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return ev.select("event_id", F.round(F.sum("value").over(w), 4).alias("running_value"))
-
-
-@_q(
-    "minmax_normalize",
-    """
-    SELECT event_id,
-           round(CASE WHEN max(value) OVER w > min(value) OVER w
-                      THEN (value - min(value) OVER w) / (max(value) OVER w - min(value) OVER w)
-                 END, 6) AS value_norm
-    FROM events WINDOW w AS (PARTITION BY user_id)
-    """,
-)
-def q_minmax_normalize(spark, sf_dir):
-    """per-entity min-max feature scaling (window aggregate over the
-    whole entity frame)."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
-    mn, mx = F.min("value").over(w), F.max("value").over(w)
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy("user_id")
+    mn, mx = F.min("value").over(wp), F.max("value").over(wp)
     return ev.select(
         "event_id",
+        F.round(F.sum("value").over(wrun), 4).alias("running_value"),
         F.round(F.when(mx > mn, (F.col("value") - mn) / (mx - mn)), 6).alias("value_norm"),
-    )
-
-
-@_q(
-    "lead_next_event",
-    """
-    SELECT event_id,
-           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
-           round(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 1e6
-                 - epoch_us(ts) / 1e6, 4) AS secs_to_next
-    FROM events
-    """,
-)
-def q_lead_next_event(spark, sf_dir):
-    """lead (forward-looking) sequence features."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "event_id",
-        F.lead("event_type").over(w).alias("next_type"),
-        F.round(F.lead(_us("ts")).over(w) / F.lit(1e6) - _us("ts") / F.lit(1e6), 4).alias("secs_to_next"),
-    )
-
-
-@_q(
-    "first_last_per_entity",
-    """
-    WITH r AS (
-      SELECT user_id, props, ts, event_id,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
-      FROM events
-    )
-    SELECT user_id,
-           max(CASE WHEN rn_a = 1 THEN props END) AS first_props,
-           max(CASE WHEN rn_d = 1 THEN props END) AS last_props
-    FROM r GROUP BY user_id
-    """,
-)
-def q_first_last_per_entity(spark, sf_dir):
-    """first/last update payload per entity
-    (feature_host_only_first_update pattern, processor.py:804-810)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("user_id").agg(
-        F.min_by("props", F.struct("ts", "event_id")).alias("first_props"),
-        F.max_by("props", F.struct("ts", "event_id")).alias("last_props"),
+        F.lead("event_type").over(ws).alias("next_type"),
+        F.round(F.lead(_us("ts")).over(ws) / F.lit(1e6) - _us("ts") / F.lit(1e6), 4).alias("secs_to_next"),
     )
 
 
@@ -1238,55 +1214,43 @@ def q_embedding_topk(spark, sf_dir):
                   ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
                        t -> list_contains(['the','a','and','of','to','in','is','on','for'], lower(t)))) END AS n_stop
       FROM documents
+    ), c AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END AS toks
+      FROM documents
+    ), l AS (
+      SELECT doc_id,
+             len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], lower(x)))) AS c_de,
+             len(list_filter(toks, x -> list_contains(['the','and','of','to','a'], lower(x)))) AS c_en,
+             len(list_filter(toks, x -> list_contains(['el','los','que','y','las'], lower(x)))) AS c_es,
+             len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], lower(x)))) AS c_fr
+      FROM c
     )
-    SELECT doc_id,
+    SELECT s.doc_id,
            n_tok::BIGINT AS token_count,
            round(CASE WHEN len(text) > 0 THEN n_punct::DOUBLE / len(text) END, 6) AS punct_ratio,
-           round(CASE WHEN n_tok > 0 THEN n_stop::DOUBLE / n_tok END, 6) AS stopword_ratio
-    FROM s
+           round(CASE WHEN n_tok > 0 THEN n_stop::DOUBLE / n_tok END, 6) AS stopword_ratio,
+           CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                WHEN c_es >= c_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s JOIN l ON l.doc_id = s.doc_id
     """,
 )
 def q_text_quality(spark, sf_dir):
     """text quality scoring components (token count, punct ratio,
-    stopword ratio)."""
+    stopword ratio) + language-ID stopword heuristic (argmax,
+    alphabetical tie-break) — all row-wise native over one documents
+    scan."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         TX.token_count("text").alias("token_count"),
         F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
         F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        TX.lang_id("text").alias("lang_pred"),
     )
-
-
-@_q(
-    "lang_id",
-    r"""
-    WITH t AS (
-      SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END AS toks
-      FROM documents
-    ), c AS (
-      SELECT doc_id,
-             len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], lower(x)))) AS c_de,
-             len(list_filter(toks, x -> list_contains(['the','and','of','to','a'], lower(x)))) AS c_en,
-             len(list_filter(toks, x -> list_contains(['el','los','que','y','las'], lower(x)))) AS c_es,
-             len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], lower(x)))) AS c_fr
-      FROM t
-    )
-    SELECT doc_id,
-           CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
-                WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
-                WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
-                WHEN c_es >= c_fr THEN 'es'
-                ELSE 'fr' END AS lang_pred
-    FROM c
-    """,
-)
-def q_lang_id(spark, sf_dir):
-    """language-ID stopword heuristic (argmax, alphabetical
-    tie-break)."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.lang_id("text").alias("lang_pred"))
 
 
 # =====================================================================
@@ -1322,40 +1286,6 @@ def q_embedding_near_dup(spark, sf_dir):
     return pairs.select(
         "a", "b", F.round(cosine(F.col("ea"), F.col("eb")), 4).alias("cos_sim")
     ).filter(F.col("cos_sim") >= 0.4)
-
-
-@_q(
-    "ngram_jaccard_pairs",
-    f"""
-    WITH sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               generate_series(1, len(string_split_regex({_NORM_SQL.format(c='text')}, '\\s+')) - 2),
-               i -> string_split_regex({_NORM_SQL.format(c='text')}, '\\s+')[i] || ' ' ||
-                    string_split_regex({_NORM_SQL.format(c='text')}, '\\s+')[i+1] || ' ' ||
-                    string_split_regex({_NORM_SQL.format(c='text')}, '\\s+')[i+2])) AS s
-      FROM documents
-    )
-    SELECT a.doc_id AS a, b.doc_id AS b,
-           round(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
-                 THEN len(list_intersect(a.s, b.s))::DOUBLE
-                      / len(list_distinct(list_concat(a.s, b.s)))
-                 END, 6) AS jaccard
-    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
-    """,
-)
-def q_ngram_jaccard_pairs(spark, sf_dir):
-    """exact word-3-gram Jaccard between consecutive doc pairs (the
-    LSH-candidate verification predicate, oracle-checked)."""
-    docs = _t(spark, sf_dir, "documents")
-    a = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("ta"))
-    b = docs.select((F.col("doc_id") - 1).alias("a"), F.col("doc_id").alias("b"),
-                    F.col("text").alias("tb"))
-    pairs = a.join(b, "a")
-    return pairs.select(
-        "a", "b",
-        dedup.ngram_jaccard(F.col("ta"), F.col("tb"), 3).alias("jaccard"),
-    )
 
 
 @_q("entropy_zlib")  # pandas-UDF kernels: no SQL twin
@@ -1904,8 +1834,26 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Rows-only pipelines that must land inside the driver's 50-entry
+# correctness snapshot (it records the FIRST 50 queries): the flagship
+# feature pipelines and the north-rule image+caption pipeline.
+_PINNED_ROWS_ONLY = (
+    "cookie_feature_pipeline",
+    "cookie_pipeline_fullwidth",
+    "image_pipeline",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    # Registration order decides which queries the driver snapshots
+    # (first 50): every oracle-bearing query first (value-exact gate),
+    # then the pinned rows-only pipelines, then the remaining
+    # rows-only surfaces (their semantics are pinned by pytest units /
+    # golden parity instead).
+    ordered = [n for n in _QUERIES if n in _ORACLES]
+    ordered += [n for n in _PINNED_ROWS_ONLY if n in _QUERIES and n not in ordered]
+    ordered += [n for n in _QUERIES if n not in set(ordered)]
+    return {n: _QUERIES[n] for n in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -62,10 +62,16 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
         elif tag == b"data":
             data = body
         pos += 8 + length + (length & 1)  # chunks are word-aligned
+    # structural validity first (missing chunks / bad channel count are
+    # malformed input → ValueError), THEN the codec-support gate
+    if audio_fmt is None or data is None or not sample_rate:
+        raise ValueError("missing fmt/data chunk")
+    if ch is None or ch < 1:
+        raise ValueError(f"invalid channel count: {ch}")
     if audio_fmt != 1 or bits != 16:
         raise NotImplementedError(f"only PCM-16 supported (fmt={audio_fmt}, bits={bits})")
-    if data is None or not sample_rate:
-        raise ValueError("missing fmt/data chunk")
+    if len(data) % (2 * ch) != 0:
+        raise ValueError(f"truncated data chunk: {len(data)} bytes for {ch} ch PCM-16")
     arr = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     return arr.reshape(-1, ch), sample_rate
 

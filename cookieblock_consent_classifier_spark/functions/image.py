@@ -77,7 +77,8 @@ def _paeth(a: int, b: int, c: int) -> int:
 def decode_png_gray(data: bytes) -> np.ndarray:
     """Decode an 8-bit grayscale PNG; supports all 5 scanline filters
     (so foreign encoders' output decodes, not just ours)."""
-    assert data[:8] == _PNG_SIG, "not a PNG"
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
     pos = 8
     w = h = None
     idat = b""
@@ -100,7 +101,10 @@ def decode_png_gray(data: bytes) -> np.ndarray:
             break
         pos += 12 + length
     raw = zlib.decompress(idat)
-    assert len(raw) == h * (w + 1), "bad scanline payload size"
+    if len(raw) != h * (w + 1):
+        raise ValueError(
+            f"bad scanline payload size: {len(raw)} != {h}*({w}+1)"
+        )
     out = np.empty((h, w), dtype=np.uint8)
     prev = np.zeros(w, dtype=np.uint8)
     for i in range(h):

@@ -273,13 +273,35 @@ def parse_js_literal(s: str) -> Any:
 def try_split_json_like(s: str) -> Any | None:
     """Reference try_split_json (utils.py:97-111): strict json.loads
     first; on JSONDecodeError fall back to the JS-literal parser.
-    Returns the parsed value (dict / list / str / number) or None."""
+
+    json.loads results pass through unchanged (the reference handles
+    list/str results with no-op branches, processor.py:1282-1285).
+    The js2py fallback mimics REAL js2py ``js_func().to_dict()``:
+    a JS object converts to a dict; a JS array's to_dict() iterates
+    its own enumerable properties, yielding an INDEX-KEYED dict
+    ``{'0': v0, '1': v1, ...}`` (length is non-enumerable); a
+    primitive result (str/number/bool/null) is a plain Python value
+    in js2py, so ``.to_dict()`` raises AttributeError and the
+    reference's except-clause returns None (utils.py:107-109)."""
     try:
         return json.loads(s)
     except json.JSONDecodeError:
         try:
-            return parse_js_literal(s)
+            val = parse_js_literal(s)
         except (JsLiteralError, IndexError, ValueError):
             return None
+        return js2py_to_dict_result(val)
     except (TypeError, ValueError):
         return None
+
+
+def js2py_to_dict_result(val: Any) -> dict | None:
+    """What the reference observes from real js2py's
+    ``eval_js(...)().to_dict()`` given a parsed JS-literal value:
+    dict → dict, array → index-keyed dict (nested values already
+    pythonized), anything else → None (AttributeError in js2py)."""
+    if isinstance(val, dict):
+        return val
+    if isinstance(val, list):
+        return {str(i): v for i, v in enumerate(val)}
+    return None

@@ -47,6 +47,7 @@ def asof_join(
     dim_order: Sequence[str] = (),
     suffix: str = "_asof",
     tolerance_seconds: float | None = None,
+    also_strict_suffix: str | None = None,
 ) -> DataFrame:
     """Return ``fact`` with ``<payload>{suffix}`` columns attached
     point-in-time-correctly. Facts with no prior dim state get nulls.
@@ -57,9 +58,18 @@ def asof_join(
     predicate on the forward-filled dim timestamp. Assumes non-null
     dim payload values (each payload column is forward-filled
     independently, like the base join).
+
+    ``also_strict_suffix``: additionally attach
+    ``<payload><also_strict_suffix>`` columns with STRICT (exclusive)
+    semantics in the same pass. Both modes share the one hash
+    exchange; only a second sort order differs (dim-after-fact at
+    equal ts), so the plan is Exchange → Sort → Window → Sort →
+    Window — still a single shuffle. Only valid with strict=False.
     """
     if not payload:
         raise ValueError("payload columns required")
+    if also_strict_suffix is not None and strict:
+        raise ValueError("also_strict_suffix requires strict=False")
 
     fact_cols = fact.columns
     fact_tag, dim_tag = (1, 0) if not strict else (0, 1)
@@ -98,6 +108,24 @@ def asof_join(
         filled = filled.withColumn(
             f"{p}{suffix}", F.last(f"__dim_{p}", ignorenulls=True).over(w)
         )
+    if also_strict_suffix is not None:
+        # same partition key, reversed tag order: fact sorts BEFORE a
+        # dim update effective at exactly fact.ts, so that dim state
+        # is NOT yet visible (exclusive). Catalyst reuses the single
+        # exchange; only an extra sort is added.
+        strict_order = [F.col("__ets").asc(), F.col("__tag").desc()] + [
+            F.col(f"__dimord_{i}").asc_nulls_first() for i in range(len(dim_order))
+        ]
+        w_strict = (
+            Window.partitionBy(on)
+            .orderBy(*strict_order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for p in payload:
+            filled = filled.withColumn(
+                f"{p}{also_strict_suffix}",
+                F.last(f"__dim_{p}", ignorenulls=True).over(w_strict),
+            )
     if tolerance_seconds is not None:
         dim_ts_marker = F.when(F.col("__tag") == dim_tag, F.col("__ets"))
         filled = filled.withColumn(
@@ -110,4 +138,6 @@ def asof_join(
         for p in payload:
             filled = filled.withColumn(f"{p}{suffix}", F.when(age_ok, F.col(f"{p}{suffix}")))
     out_cols = fact_cols + [f"{p}{suffix}" for p in payload]
+    if also_strict_suffix is not None:
+        out_cols += [f"{p}{also_strict_suffix}" for p in payload]
     return filled.filter(F.col("__tag") == fact_tag).select(*out_cols)

@@ -177,13 +177,18 @@ def ivf_assign(
     cents.sort()
     cmat = F.lit([v for _, v in cents])
     cids = [cid for cid, _ in cents]
+    # slice the corpus vector to the centroid dim: zip_with pads the
+    # SHORTER side with NULLs, so a wider corpus vector would
+    # otherwise NULL the whole dot (same hazard as hyperplane_bucket)
+    dim = len(cents[0][1])
+    vec = F.slice(F.col(vec_col), 1, dim)
     # struct(score, -cid): array_max compares field-wise, so ties on
     # score pick the LARGER -cid == smaller centroid_id
     scored = F.zip_with(
         cmat,
         F.lit([float(-cid) for cid in cids]),
         lambda cvec, ncid: F.struct(
-            dot(F.col(vec_col), cvec).alias("s"), ncid.alias("ncid")
+            dot(vec, cvec).alias("s"), ncid.alias("ncid")
         ),
     )
     best = F.array_max(scored)

@@ -98,6 +98,10 @@ class FeatureSpec:
     args: dict = field(default_factory=dict)
     setup: str | None = None
     source: str | None = None
+    # the config entry's own "name" field — what the reference's
+    # feature map prints (retrieve_feature_names_as_list uses
+    # feature["name"], not the function name). None → same as `name`.
+    display: str | None = None
 
 
 @dataclass(frozen=True)
@@ -140,7 +144,8 @@ class FeatureSchema:
         out: list[str] = []
 
         def block(spec: FeatureSpec, prefix: str) -> None:
-            out.extend(f"{prefix}{spec.name}-{i}" for i in range(spec.vector_size))
+            nm = spec.display or spec.name
+            out.extend(f"{prefix}{nm}-{i}" for i in range(spec.vector_size))
 
         # NB feature-major order: the reference iterates each feature
         # across all its update/diff slots before moving to the next

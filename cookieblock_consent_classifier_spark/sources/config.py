@@ -139,6 +139,11 @@ def load_features_config(config_path: str, base_dir: str | None = None) -> tuple
             args=dict(entry.get("args", {})),
             setup=setup,
             source=source,
+            # the reference's feature map prints the entry's own
+            # "name" (retrieve_feature_names_as_list), which need not
+            # equal the engine spec name — carry it through so fmap
+            # output stays byte-exact for ANY display names
+            display=entry.get("name"),
         )
 
     schema = FeatureSchema(

@@ -38,8 +38,13 @@ from cookieblock_consent_classifier_spark.functions.jsparse import (
 
 REFERENCE_ROOT = "/root/reference"
 
-# js2py-shim call accounting (reset per test to measure the waiver)
-JS2PY_CALLS: list[tuple[str, bool]] = []  # (body, parsed_ok)
+# js2py-shim call accounting (reset per test to measure the waiver).
+# status: "ok" = parsed to an object/array (dict via to_dict),
+# "primitive" = parsed but js2py's .to_dict() would raise
+# AttributeError (reference treats as unparseable — deterministic,
+# NOT a waiver), "reject" = bounded parser rejected (the only class
+# where a full JS interpreter could diverge)
+JS2PY_CALLS: list[tuple[str, str]] = []  # (body, status)
 
 
 def levenshtein_distance(a: str, b: str) -> int:
@@ -97,14 +102,24 @@ def _eval_js(src: str):
     body = src[len(_PREFIX):-len(_SUFFIX)]
     try:
         val = parse_js_literal(body)
-        JS2PY_CALLS.append((body, True))
     except (JsLiteralError, IndexError, ValueError) as e:
-        JS2PY_CALLS.append((body, False))
+        JS2PY_CALLS.append((body, "reject"))
         raise JsException(str(e))
+    JS2PY_CALLS.append((body, "ok" if isinstance(val, (dict, list)) else "primitive"))
 
     class _Result:
         def to_dict(self):
-            return val
+            # real js2py: a JS object wraps (to_dict → dict); an array
+            # wrap's to_dict iterates its enumerable own properties →
+            # index-keyed dict; a primitive result is a plain Python
+            # value with NO to_dict — AttributeError, which the
+            # reference's except-clause turns into None
+            # (utils.py:107-109)
+            if isinstance(val, dict):
+                return val
+            if isinstance(val, list):
+                return {str(i): v for i, v in enumerate(val)}
+            raise AttributeError(f"'{type(val).__name__}' object has no attribute 'to_dict'")
 
     return lambda: _Result()
 

@@ -140,3 +140,28 @@ def test_asof_tolerance_nulls_stale_matches(spark, events, orders):
             assert t[eid] is None, eid
             n_stale += 1
     assert n_stale > 0, "fixture must exercise the tolerance cut"
+
+
+def test_asof_also_strict_single_pass(spark, fact, dim):
+    """also_strict_suffix: inclusive + strict columns from ONE
+    union+window pass — values match two separate runs, and the plan
+    carries exactly one hash exchange (two sorts share it)."""
+    both = asof_join(
+        fact, dim, on="entity", fact_ts="ts", dim_ts="ts",
+        payload=["state"], also_strict_suffix="_strict",
+    )
+    incl = asof_join(fact, dim, on="entity", fact_ts="ts", dim_ts="ts", payload=["state"])
+    strict = asof_join(fact, dim, on="entity", fact_ts="ts", dim_ts="ts",
+                       payload=["state"], strict=True)
+    got = {r["fid"]: (r["state_asof"], r["state_strict"]) for r in both.collect()}
+    want_incl = {r["fid"]: r["state_asof"] for r in incl.collect()}
+    want_strict = {r["fid"]: r["state_asof"] for r in strict.collect()}
+    assert {k: v[0] for k, v in got.items()} == want_incl
+    assert {k: v[1] for k, v in got.items()} == want_strict
+
+    # AQE's executed-plan string repeats the tree under "== Initial
+    # Plan ==": count exchanges in the final section only
+    plan = both._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, plan

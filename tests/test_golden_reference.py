@@ -188,9 +188,13 @@ def test_js2py_waiver_rate(ref_module, abs_config):
     proc.extract_features(data)
     calls = list(ref_shims.JS2PY_CALLS)
     total_updates = sum(len(e["variable_data"]) for e in data.values())
-    rejected = [b for b, ok in calls if not ok]
-    # documented waiver numbers (COVERAGE.md): fallback reach + residual
+    rejected = [b for b, st in calls if st == "reject"]
+    primitives = [b for b, st in calls if st == "primitive"]
+    # documented waiver numbers (COVERAGE.md): fallback reach + residual.
+    # "primitive" results are NOT waivers — real js2py deterministically
+    # AttributeErrors on .to_dict() for them (shim + engine both match)
     print(f"js2py fallback reached: {len(calls)}/{total_updates} updates; "
-          f"bounded parser rejected: {len(rejected)}")
+          f"bounded parser rejected: {len(rejected)}; "
+          f"primitive (to_dict AttributeError, matched): {len(primitives)}")
     # the residual must stay a tiny fraction of the corpus
     assert len(rejected) <= 0.01 * total_updates, rejected[:5]
