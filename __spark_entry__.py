@@ -1244,12 +1244,15 @@ def q_text_quality(spark, sf_dir):
     alphabetical tie-break) — all row-wise native over one documents
     scan."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    # two-phase lang-id: materialize the single-pass counts array in
+    # its own projection so max + argmax don't re-run the aggregate
+    staged = docs.select("doc_id", "text", TX.lang_counts("text").alias("__lc"))
+    return staged.select(
         "doc_id",
         TX.token_count("text").alias("token_count"),
         F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
         F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
-        TX.lang_id("text").alias("lang_pred"),
+        TX.lang_id_from_counts("__lc").alias("lang_pred"),
     )
 
 

@@ -88,22 +88,51 @@ def lang_scores(col: str | Column) -> dict[str, Column]:
     return out
 
 
+LANG_ORDER: list[str] = sorted(LANG_MARKERS)
+
+
+def lang_counts(col: str | Column) -> Column:
+    """array<int> of per-language marker hit counts (LANG_ORDER
+    positions) in ONE interpreted pass over the token array.
+
+    Higher-order functions are CodegenFallback (interpreted, no
+    subexpression elimination): one filter() per language re-tokenizes
+    and re-lowers per pass, and an argmax when-chain over those scores
+    duplicates each one several times — ~10 interpreted array passes
+    per row. This folds everything into a single aggregate over
+    lowered tokens."""
+    lowered = F.transform(tokens(col), F.lower)
+    arrs = [F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]) for lang in LANG_ORDER]
+    zero = F.array(*[F.lit(0) for _ in LANG_ORDER])
+    return F.aggregate(
+        lowered,
+        zero,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(*[F.array_contains(a, t).cast("int") for a in arrs]),
+            lambda x, y: x + y,
+        ),
+    )
+
+
+def lang_id_from_counts(counts: str | Column) -> Column:
+    """argmax language from a lang_counts() column; 'und' when all
+    zero. array_position returns the FIRST maximum → ties break by
+    language code order (LANG_ORDER is sorted), same as the when-chain
+    formulation."""
+    c = _c(counts)
+    mx = F.array_max(c)
+    pick = F.element_at(F.lit(LANG_ORDER), F.array_position(c, mx).cast("int"))
+    return F.when(mx > 0, pick).otherwise(F.lit("und"))
+
+
 def lang_id(col: str | Column) -> Column:
     """argmax language by marker hits; 'und' when all zero. Ties break
-    by language code order (deterministic)."""
-    scores = lang_scores(col)
-    langs = sorted(scores)
-    best = None
-    best_score = None
-    for lang in langs:
-        s = scores[lang]
-        if best is None:
-            best, best_score = F.lit(lang), s
-        else:
-            cond = s > best_score
-            best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_score = F.when(cond, s).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+    by language code order (deterministic). For hot paths, project
+    lang_counts() into its own column first and apply
+    lang_id_from_counts on it — this convenience form evaluates the
+    counts aggregate twice (max + position)."""
+    return lang_id_from_counts(lang_counts(col))
 
 
 def normalize_text(col: str | Column) -> Column:

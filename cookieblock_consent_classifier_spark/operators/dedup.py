@@ -151,6 +151,7 @@ def connected_components(
     b_col: str = "b",
     max_iters: int = 25,
     small_graph_threshold: int = 1_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph — the
     cluster-merge step after near-dup candidate verification (pairs
@@ -173,13 +174,22 @@ def connected_components(
     Returns (node, component) where component = min node id reachable.
     Only nodes that appear in an edge are emitted (singletons need no
     merging).
+
+    ``stats`` (optional dict) receives run metrics: which path ran
+    ("driver" | "distributed"), edge count, and propagation rounds —
+    the per-stage metrics surface for lineage/resume reporting.
     """
     spark = edges.sparkSession
     # materialize the (typically expensive) verified-pair lineage ONCE;
     # the size probe and the subsequent path both read local blocks
     edges = edges.select(a_col, b_col).localCheckpoint(eager=True)
     n_edges = edges.count()
+    if stats is not None:
+        stats["edges"] = n_edges
     if n_edges <= small_graph_threshold:
+        if stats is not None:
+            stats["path"] = "driver"
+            stats["rounds"] = 0
         pairs = edges.collect()
         parent: dict = {}
 
@@ -215,7 +225,12 @@ def connected_components(
     labels = nodes.select("node", F.col("node").alias("component")).localCheckpoint(
         eager=True
     )
+    if stats is not None:
+        stats["path"] = "distributed"
+        stats["rounds"] = 0
     for _ in range(max_iters):
+        if stats is not None:
+            stats["rounds"] += 1
         # label(dst) <- min over incoming src labels (incl. self-loop)
         proposed = (
             sym.join(labels, sym.src == labels.node)

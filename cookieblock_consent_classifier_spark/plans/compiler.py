@@ -215,6 +215,7 @@ def compile_features(
     training: bool = True,
     skip_sample_mod: int | None = None,
     with_weights: bool = True,
+    gestalt_max_updates: int = 10_000,
 ) -> tuple[DataFrame, list[str]]:
     """Compile the declared schema over a long-format entity-update
     DataFrame (COOKIE_UPDATE_SCHEMA shape) into a wide per-entity
@@ -226,6 +227,17 @@ def compile_features(
     deterministic hash replacement of its random CMP-cookie skip
     (processor.py:481-483): drop matching-name entities unless
     xxhash64(entity) % mod == 0.
+
+    ``gestalt_max_updates`` bounds the ONE collected sequence in the
+    plan (the ordered values feeding the post-agg gestalt kernel —
+    difflib is order-dependent and cannot salt): updates at slot ≥ cap
+    never enter the collected cell, so a pathological hot entity
+    (10^7+ updates) costs O(cap × value_len) memory instead of OOM.
+    Per-diff gestalt slots live at slot ≤ num_diffs (far below any
+    sane cap) and stay exact; gestalt_total mean/std is then over the
+    first cap updates — a documented truncation, mirroring the
+    reference's own fixed num_updates/num_diffs slot caps. Every other
+    per-entity aggregate is algebraic and stays exact at any count.
     """
     spark = df.sparkSession
     names = schema.feature_names()
@@ -239,6 +251,16 @@ def compile_features(
 
     builders = _per_update_builders()
     w = Window.partitionBy(entity_col).orderBy("ts", "update_idx")
+    enabled_pe = {s.name for s in schema.per_entity if s.enabled}
+    need_gestalt = "gestalt_total" in enabled_pe or any(
+        s.enabled and s.name == "gestalt_similarity" for s in schema.per_diff
+    )
+    if need_gestalt and gestalt_max_updates <= schema.num_diffs:
+        raise ValueError(
+            f"gestalt_max_updates={gestalt_max_updates} must exceed "
+            f"num_diffs={schema.num_diffs} (per-diff gestalt slots live "
+            "at slot <= num_diffs)"
+        )
 
     # ---- stage 0 (PRE-shuffle): every row-local projection — all 28
     # per-update feature blocks and the per-entity sequence metrics —
@@ -285,11 +307,15 @@ def compile_features(
                 cnames.append(cname)
             upd_cols[spec.name] = cnames
 
-    stage0_cols += [
-        F.octet_length("value").cast("double").alias("__byte_len"),
-        F.col("__k")["zlib_len"].alias("__zlib_len"),
-        F.col("__k")["entropy"].alias("__entropy"),
-    ]
+    # aggregate inputs only when their consuming per-entity feature is
+    # enabled: an unreferenced __k field lets Catalyst column-prune the
+    # whole Arrow kernel out of slim schemas (e.g. native-only configs)
+    if "contlength_total" in enabled_pe:
+        stage0_cols.append(F.octet_length("value").cast("double").alias("__byte_len"))
+    if "complength_total" in enabled_pe:
+        stage0_cols.append(F.col("__k")["zlib_len"].alias("__zlib_len"))
+    if "entropy_total" in enabled_pe:
+        stage0_cols.append(F.col("__k")["entropy"].alias("__entropy"))
     proj = staged.select("*", *stage0_cols)
 
     # ---- stage 1 (the ONE shuffle): window lag columns + change
@@ -384,27 +410,41 @@ def compile_features(
         ).alias("e__expiry_changed"),
         F.when(F.min_by("host_only", F.struct("ts", "update_idx")), F.lit(1.0)).alias("e__host_only"),
         *mean_std("d__lev_distance", "e__levenshtein"),
-        *mean_std("__byte_len", "e__contlength"),
-        *mean_std("__zlib_len", "e__complength"),
-        *mean_std("__entropy", "e__entropy"),
-        # ordered value sequence for the post-agg gestalt kernel
-        F.sort_array(
-            F.collect_list(F.struct(F.col("__slot").alias("s"), F.col("value").alias("v")))
-        ).alias("__vals"),
     ]
+    if "contlength_total" in enabled_pe:
+        aggs += mean_std("__byte_len", "e__contlength")
+    if "complength_total" in enabled_pe:
+        aggs += mean_std("__zlib_len", "e__complength")
+    if "entropy_total" in enabled_pe:
+        aggs += mean_std("__entropy", "e__entropy")
+    if need_gestalt:
+        # ordered value sequence for the post-agg gestalt kernel,
+        # bounded at gestalt_max_updates (collect_list drops NULLs, so
+        # slots past the cap never enter the cell — the hot-entity
+        # memory bound; see docstring)
+        aggs.append(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("__slot") < F.lit(gestalt_max_updates),
+                        F.struct(F.col("__slot").alias("s"), F.col("value").alias("v")),
+                    )
+                )
+            ).alias("__vals")
+        )
 
     ent = proj.groupBy(entity_col).agg(*aggs)
 
-    # post-agg gestalt kernel: one Arrow batch per entity row
-    gs = V.gestalt_stats_udf(schema.num_diffs)(
-        F.transform(F.col("__vals"), lambda x: x["v"])
-    )
-    ent = ent.withColumn("__gs", gs)
-    ent = ent.withColumn("e__gestalt_mean", F.col("__gs.mean"))
-    ent = ent.withColumn("e__gestalt_std", F.col("__gs.std"))
+    if need_gestalt:
+        # post-agg gestalt kernel: one Arrow batch per entity row
+        gs = V.gestalt_stats_udf(schema.num_diffs)(
+            F.transform(F.col("__vals"), lambda x: x["v"])
+        )
+        ent = ent.withColumn("__gs", gs)
+        ent = ent.withColumn("e__gestalt_mean", F.col("__gs.mean"))
+        ent = ent.withColumn("e__gestalt_std", F.col("__gs.std"))
 
     # ---- stage 3: broadcast lookups on the per-entity side
-    enabled_pe = {s.name for s in schema.per_entity if s.enabled}
     if "top_names" in enabled_pe:
         tn = rank_df(spark, res.top_names, "name").withColumnRenamed("rank", "__tn_rank")
         ent = ent.join(F.broadcast(tn), "name", "left")

@@ -40,6 +40,13 @@ _BASE_CONF: dict[str, str] = {
     "spark.driver.memory": "48g",
     "spark.ui.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # PySpark wraps EVERY DataFrame/Column API call with a call-site
+    # capture (stack inspection + 2 extra py4j round-trips) when this
+    # is on — it exists only to decorate error messages with user line
+    # numbers. A wide feature plan is tens of thousands of Column ops,
+    # so this flag alone is ~2x driver-side plan-construction time.
+    # (Cached by pyspark at first use: must be set at session build.)
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 

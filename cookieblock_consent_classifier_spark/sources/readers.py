@@ -34,11 +34,28 @@ def load_tables(
 
 
 def read_entity_updates(spark: SparkSession, paths: Sequence[str], fmt: str = "parquet") -> DataFrame:
-    """Multi-path scan; format 'parquet' | 'json' | 'iceberg' (iceberg
-    via table identifier when a catalog is configured)."""
+    """Multi-path scan; format 'parquet' | 'json' | 'iceberg'.
+
+    Iceberg requires the iceberg-spark-runtime jar on the classpath
+    plus a configured catalog (north rule names Iceberg as the target
+    table format; this TEST CONTAINER ships parquet-only, so the
+    branch is exercised by tests/test_sinks.py only up to the clean
+    unavailability error — see README 'container limits')."""
     if fmt == "iceberg":
-        assert len(paths) == 1
-        return spark.read.format("iceberg").load(paths[0])
+        if len(paths) != 1:
+            raise ValueError("iceberg reads take exactly one table identifier")
+        try:
+            return spark.read.format("iceberg").load(paths[0])
+        except Exception as e:  # AnalysisException lacks a stable subclass for this
+            if "Failed to find data source" in str(e) or "DATA_SOURCE_NOT_FOUND" in str(e):
+                raise RuntimeError(
+                    "Iceberg runtime is not on the classpath: submit with "
+                    "--packages org.apache.iceberg:iceberg-spark-runtime-"
+                    "<spark_ver>_<scala_ver>:<iceberg_ver> and configure a "
+                    "catalog (spark.sql.catalog.*). This container is "
+                    "parquet-only."
+                ) from e
+            raise
     reader = spark.read.format(fmt)
     if fmt == "json":
         reader = reader.option("multiLine", "true")

@@ -196,3 +196,33 @@ def test_lsh_topk_recall(spark, embeddings):
     print(f"lsh_topk recall@5 = {recall:.3f} (3 planes x 12 tables)")
     # measured: 0.930 at 3p x 12t (sweep: 2p x 10t 0.990, 3p x 8t 0.860)
     assert recall >= 0.85, recall
+
+
+def test_connected_components_distributed_multi_round(spark):
+    """Force the DISTRIBUTED min-label + pointer-jumping path
+    (small_graph_threshold=0) on a 64-node chain + a disjoint
+    triangle: the chain needs multiple propagation rounds (>= 3 even
+    with pointer jumping), and the result must equal the driver
+    union-find path exactly."""
+    chain = [(i, i + 1) for i in range(63)]
+    tri = [(100, 101), (101, 102), (100, 102)]
+    edges = spark.createDataFrame(chain + tri, ["a", "b"])
+
+    dist_stats: dict = {}
+    dist = dedup.connected_components(edges, small_graph_threshold=0, stats=dist_stats)
+    drv_stats: dict = {}
+    drv = dedup.connected_components(edges, stats=drv_stats)
+
+    got = {r["node"]: r["component"] for r in dist.collect()}
+    want = {r["node"]: r["component"] for r in drv.collect()}
+    assert got == want
+    assert all(got[i] == 0 for i in range(64))
+    assert all(got[i] == 100 for i in (100, 101, 102))
+
+    assert dist_stats["path"] == "distributed"
+    assert drv_stats["path"] == "driver"
+    assert dist_stats["edges"] == drv_stats["edges"] == 66
+    # a 64-chain cannot converge in 2 rounds even with pointer jumping
+    # (label reach grows a constant factor per round), and must
+    # converge well inside the max_iters bound
+    assert 3 <= dist_stats["rounds"] <= 12, dist_stats

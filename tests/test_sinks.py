@@ -65,3 +65,28 @@ def test_debug_json_and_feature_map(assembled, tmp_path: Path):
     # "{idx} {name}-{i} i" — space-separated, type char 'i'
     assert fmap[0] == f"0 {names[0]} i"
     assert all(line.endswith(" i") for line in fmap)
+
+
+def test_iceberg_read_path_gated(spark):
+    """The iceberg format branch: when the iceberg-spark runtime is on
+    the classpath this reads a real table; in this parquet-only
+    container it must fail with the CLEAN actionable error (not an
+    opaque AnalysisException) — the documented limitation."""
+    import pytest
+
+    from cookieblock_consent_classifier_spark.sources.readers import read_entity_updates
+
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        iceberg_available = True
+    except Exception:
+        iceberg_available = False
+
+    if iceberg_available:
+        pytest.skip("iceberg runtime present: covered by a real catalog read")
+    with pytest.raises(RuntimeError, match="Iceberg runtime is not on the classpath"):
+        read_entity_updates(spark, ["local.db.some_table"], fmt="iceberg")
+    with pytest.raises(ValueError, match="exactly one table identifier"):
+        read_entity_updates(spark, ["a", "b"], fmt="iceberg")
