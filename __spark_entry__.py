@@ -1228,6 +1228,7 @@ def q_embedding_topk(spark, sf_dir):
     )
     SELECT s.doc_id,
            n_tok::BIGINT AS token_count,
+           len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT AS bpe_tokens,
            round(CASE WHEN len(text) > 0 THEN n_punct::DOUBLE / len(text) END, 6) AS punct_ratio,
            round(CASE WHEN n_tok > 0 THEN n_stop::DOUBLE / n_tok END, 6) AS stopword_ratio,
            CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
@@ -1250,6 +1251,7 @@ def q_text_quality(spark, sf_dir):
     return staged.select(
         "doc_id",
         TX.token_count("text").alias("token_count"),
+        TX.bpe_token_count("text").alias("bpe_tokens"),
         F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
         F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
         TX.lang_id_from_counts("__lc").alias("lang_pred"),

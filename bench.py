@@ -109,11 +109,20 @@ def main() -> None:
     # (the north-rule metric) over the composite feature pipeline
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     n_entity_ts = ev.count()
-    t0 = time.perf_counter()
     # entry() is pinned to sf0.001 for the smoke check; rebuild the same
-    # flagship plan at the bench SF via the module helper
-    _flagship_at(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    flagship_sec = time.perf_counter() - t0
+    # flagship plan at the bench SF via the module helper. Min of 3 runs:
+    # the sandbox host is shared and identical runs vary up to 3x under
+    # external load — the fastest run is the least-contended measurement
+    flagship_runs = []
+    for _ in range(3):
+        # rebuild the plan each run: re-writing the SAME DataFrame lets
+        # Spark reuse its shuffle files and the repeat runs measure only
+        # the post-shuffle stages — a fresh plan keeps every run honest
+        flagship = _flagship_at(spark, sf_dir)
+        t0 = time.perf_counter()
+        flagship.write.format("noop").mode("overwrite").save()
+        flagship_runs.append(round(time.perf_counter() - t0, 3))
+    flagship_sec = min(flagship_runs)
     throughput = n_entity_ts / flagship_sec if flagship_sec > 0 else 0.0
 
     print(
@@ -126,6 +135,7 @@ def main() -> None:
                 "construct": construct,
                 "total_sec": round(total_sec, 3),
                 "flagship_sec": round(flagship_sec, 3),
+                "flagship_runs": flagship_runs,
                 "input_rows": n_entity_ts,
                 "cpus": int(cpus),
                 "sf": sf,

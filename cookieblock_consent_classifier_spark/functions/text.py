@@ -39,6 +39,25 @@ def token_count(col: str | Column) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+# BPE-style pre-tokenizer (GPT-2 family shape: optional leading space
+# + letter run | digit run | punctuation run | whitespace run),
+# restricted to constructs BOTH Java regex and RE2/DuckDB support —
+# the original's negative lookahead `\s+(?!\S)` is dropped (RE2 has no
+# lookahead), so an inter-token whitespace run counts as one token of
+# its own instead of donating its last space to the next token. Token
+# COUNTS are deterministic and engine-portable; this is a corpus-cost
+# estimator ("BPE-ish"), not a specific tokenizer's exact count.
+BPE_PRETOKEN_PAT = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    """Approximate LLM-token count per document: number of BPE-style
+    pre-token matches (each pre-token maps to >=1 BPE tokens, so this
+    lower-bounds true BPE counts with a stable ratio on natural text).
+    Native regexp_count — scan-speed at any scale."""
+    return F.regexp_count(_c(col), F.lit(BPE_PRETOKEN_PAT)).cast("long")
+
+
 def avg_token_len(col: str | Column) -> Column:
     toks = tokens(col)
     total = F.aggregate(
