@@ -1133,12 +1133,45 @@ def q_dedup_exact(spark, sf_dir):
 
 @_q(
     "doc_fingerprint",
-    f"SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fp FROM documents",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(text), '\s+') END AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ), g AS (
+      SELECT doc_id, text, lines,
+             list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1]) AS g2,
+             list_transform(generate_series(1, len(toks) - 2),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+      FROM t
+    )
+    SELECT doc_id,
+           md5({_NORM_SQL.format(c='text')}) AS fp,
+           round(CASE WHEN len(g2) > 0
+                 THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2) END, 6) AS dup_2gram_frac,
+           round(CASE WHEN len(g3) > 0
+                 THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3) END, 6) AS dup_3gram_frac,
+           round(CASE WHEN len(lines) > 0
+                 THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines) END, 6) AS dup_line_frac
+    FROM g
+    """,
 )
 def q_doc_fingerprint(spark, sf_dir):
-    """normalized-content document fingerprint."""
+    """normalized-content document fingerprint + repetition quality
+    filters (the MassiveText/Gopher family): duplicate word-2/3-gram
+    fraction and duplicate line fraction — the standard
+    pretraining-corpus boilerplate/spam signals, all native."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+    return docs.select(
+        "doc_id",
+        TX.fingerprint("text").alias("fp"),
+        F.round(TX.dup_ngram_fraction("text", 2), 6).alias("dup_2gram_frac"),
+        F.round(TX.dup_ngram_fraction("text", 3), 6).alias("dup_3gram_frac"),
+        F.round(TX.dup_line_fraction("text"), 6).alias("dup_line_frac"),
+    )
 
 
 def _minhash_sql(k: int) -> str:

@@ -154,6 +154,42 @@ def lang_id(col: str | Column) -> Column:
     return lang_id_from_counts(lang_counts(col))
 
 
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Sliding word n-grams via zip_with+slice (an element_at loop
+    inside a HOF re-evaluates its input per element — interpreted, no
+    CSE)."""
+    out = F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    for k in range(1, n):
+        nxt = F.slice(toks, k + 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+        out = F.zip_with(out, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
+    return out
+
+
+def dup_ngram_fraction(col: str | Column, n: int = 2) -> Column:
+    """Repetition quality filter (the MassiveText/Gopher family:
+    'fraction of duplicate n-grams'): 1 − distinct/total over word
+    n-grams; NULL when the doc has fewer than n tokens. High values
+    flag boilerplate/spam for pretraining-corpus filtering. All-native
+    array ops — scan-speed at any scale."""
+    grams = _word_ngrams(tokens(col), n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
+    )
+
+
+def dup_line_fraction(col: str | Column) -> Column:
+    """Fraction of duplicate lines (same filter family): 1 −
+    distinct/total over '\\n'-split lines; NULL for empty docs."""
+    lines = F.split(_c(col), "\n")
+    total = F.size(lines)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / total.cast("double"),
+    )
+
+
 def normalize_text(col: str | Column) -> Column:
     """Canonical text normalization for fingerprinting: lowercase,
     strip non-alphanumerics to spaces, collapse whitespace."""
