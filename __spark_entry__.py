@@ -1165,11 +1165,15 @@ def q_doc_fingerprint(spark, sf_dir):
     fraction and duplicate line fraction — the standard
     pretraining-corpus boilerplate/spam signals, all native."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    # two-phase: tokenize ONCE into a projected column; the n-gram
+    # fractions reference it cheaply (inlining tokens() re-runs the
+    # trim+split per interpreted HOF operand — no CSE)
+    staged = docs.select("doc_id", "text", TX.tokens("text").alias("__toks"))
+    return staged.select(
         "doc_id",
         TX.fingerprint("text").alias("fp"),
-        F.round(TX.dup_ngram_fraction("text", 2), 6).alias("dup_2gram_frac"),
-        F.round(TX.dup_ngram_fraction("text", 3), 6).alias("dup_3gram_frac"),
+        F.round(TX.dup_ngram_fraction_from_tokens("__toks", 2), 6).alias("dup_2gram_frac"),
+        F.round(TX.dup_ngram_fraction_from_tokens("__toks", 3), 6).alias("dup_3gram_frac"),
         F.round(TX.dup_line_fraction("text"), 6).alias("dup_line_frac"),
     )
 
@@ -1890,6 +1894,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # golden parity instead).
     ordered = [n for n in _QUERIES if n in _ORACLES]
     ordered += [n for n in _PINNED_ROWS_ONLY if n in _QUERIES and n not in ordered]
+    # HARD invariant (tested): every oracle-bearing query AND every
+    # pinned pipeline must fit the snapshot — adding a 48th oracle
+    # query would silently evict a pinned pipeline otherwise
+    assert len(ordered) <= 50, (
+        f"{len(ordered)} oracle+pinned queries exceed the driver's "
+        "50-entry correctness snapshot: fold an oracle surface before "
+        "registering a new one (see VERDICT round-2 item 1)"
+    )
     ordered += [n for n in _QUERIES if n not in set(ordered)]
     return {n: _QUERIES[n] for n in ordered}
 

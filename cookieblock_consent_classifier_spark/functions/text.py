@@ -165,13 +165,17 @@ def _word_ngrams(toks: Column, n: int) -> Column:
     return out
 
 
-def dup_ngram_fraction(col: str | Column, n: int = 2) -> Column:
+def dup_ngram_fraction_from_tokens(toks: str | Column, n: int = 2) -> Column:
     """Repetition quality filter (the MassiveText/Gopher family:
-    'fraction of duplicate n-grams'): 1 − distinct/total over word
-    n-grams; NULL when the doc has fewer than n tokens. High values
-    flag boilerplate/spam for pretraining-corpus filtering. All-native
-    array ops — scan-speed at any scale."""
-    grams = _word_ngrams(tokens(col), n)
+    'fraction of duplicate n-grams') over a PRE-PROJECTED token-array
+    column: 1 − distinct/total over word n-grams; NULL when the doc
+    has fewer than n tokens. High values flag boilerplate/spam for
+    pretraining-corpus filtering. All-native array ops — scan-speed at
+    any scale. Project tokens() into its own column first when
+    computing several fractions: the slice/zip_with operands reference
+    the array column cheaply, whereas inlining tokens(col) re-runs the
+    trim+split per operand (interpreted HOFs, no CSE)."""
+    grams = _word_ngrams(_c(toks), n)
     total = F.size(grams)
     return F.when(
         total > 0,
@@ -179,15 +183,19 @@ def dup_ngram_fraction(col: str | Column, n: int = 2) -> Column:
     )
 
 
+def dup_ngram_fraction(col: str | Column, n: int = 2) -> Column:
+    """Convenience single-use form of dup_ngram_fraction_from_tokens
+    (tokenizes inline — prefer the _from_tokens form in hot paths)."""
+    return dup_ngram_fraction_from_tokens(tokens(col), n)
+
+
 def dup_line_fraction(col: str | Column) -> Column:
     """Fraction of duplicate lines (same filter family): 1 −
-    distinct/total over '\\n'-split lines; NULL for empty docs."""
+    distinct/total over '\\n'-split lines. An empty doc yields 0.0
+    (split('') is one empty line), never NULL — total is always ≥ 1."""
     lines = F.split(_c(col), "\n")
     total = F.size(lines)
-    return F.when(
-        total > 0,
-        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / total.cast("double"),
-    )
+    return F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / total.cast("double")
 
 
 def normalize_text(col: str | Column) -> Column:

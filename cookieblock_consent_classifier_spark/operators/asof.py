@@ -70,6 +70,11 @@ def asof_join(
         raise ValueError("payload columns required")
     if also_strict_suffix is not None and strict:
         raise ValueError("also_strict_suffix requires strict=False")
+    if also_strict_suffix is not None and tolerance_seconds is not None:
+        # the staleness cut applies to the inclusive columns only; a
+        # silent combination would return leakage-safe inclusive
+        # columns next to stale strict ones
+        raise ValueError("also_strict_suffix does not compose with tolerance_seconds")
 
     fact_cols = fact.columns
     fact_tag, dim_tag = (1, 0) if not strict else (0, 1)

@@ -169,6 +169,8 @@ def ivf_assign(
     Ties break toward the smallest centroid_id. Returns corpus
     columns + ``cell``."""
     rows = centroids.select("centroid_id", vec_col).collect()
+    if not rows:
+        raise ValueError("ivf_assign: empty centroid set")
     cents = []
     for r in rows:
         v = [float(x) for x in r[vec_col]]

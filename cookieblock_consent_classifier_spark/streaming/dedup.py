@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def streaming_exact_dedup(
@@ -25,16 +25,29 @@ def streaming_exact_dedup(
     key_cols: Sequence[str],
     ts_col: str = "ts",
     watermark: str = "1 hour",
+    order_tiebreak: Sequence[str] = (),
 ) -> DataFrame:
-    """First-writer-wins exact dedup on ``key_cols``.
+    """Exact dedup on ``key_cols`` — one surviving row per key.
 
-    On a stream, state for keys older than ``watermark`` (event time)
-    is dropped — O(active-window keys) memory per partition instead of
-    O(all keys ever). State is hash-partitioned by key, so the
-    operator scales horizontally with executors.
+    Survivor semantics differ by mode (inherent to incremental
+    processing, documented rather than papered over):
+    - STREAM: first ARRIVAL wins (dropDuplicatesWithinWatermark keeps
+      whichever duplicate the engine saw first); state for keys older
+      than ``watermark`` (event time) is dropped — O(active-window
+      keys) memory, hash-partitioned by key so the operator scales
+      horizontally.
+    - BATCH: earliest EVENT TIME wins (deterministic row_number over
+      (ts, *order_tiebreak)); pass ``order_tiebreak`` when multiple
+      duplicates can share a timestamp, otherwise the survivor among
+      exact ts-ties is arbitrary.
     """
     base = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if base.isStreaming:
         base = base.withWatermark(ts_col, watermark)
         return base.dropDuplicatesWithinWatermark(list(key_cols))
-    return base.dropDuplicates(list(key_cols))
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *order_tiebreak)
+    return (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

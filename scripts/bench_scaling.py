@@ -120,8 +120,11 @@ def main() -> None:
             print(f"pass {p} local[{cpus}]: {got['times']}", file=sys.stderr)
 
     control: dict[int, dict] = {}
+    # control runs at the two highest MEASURED levels (the pair whose
+    # ceiling it documents), not a hardcoded 8/32
+    control_levels = sorted(level_list)[-2:]
     if not args.no_control:
-        for cpus in (8, 32):
+        for cpus in control_levels:
             control[cpus] = run_pinned(CONTROL, cpus)
             print(f"control[{cpus}]: {control[cpus]['times']}", file=sys.stderr)
 
@@ -133,16 +136,21 @@ def main() -> None:
     eff_8_32 = pairs.get((8, 32))
     ctl_eff = None
     if control:
-        ctl_eff = (min(control[8]["times"]) / min(control[32]["times"])) / 4
+        lo, hi = control_levels
+        ctl_eff = (min(control[lo]["times"]) / min(control[hi]["times"])) / (hi // lo)
 
     result = {
         "metric": "entity-timestamps/sec (full declared-schema feature pipeline)",
         "rows": rows,
         "throughput": {f"local{c}": round(thr[c], 1) for c in thr},
         "eff": {f"{n}_to_{m}": round(e, 3) for (n, m), e in pairs.items()},
-        "control_jvm_eff_8_to_32": round(ctl_eff, 3) if ctl_eff else None,
+        "control_jvm_eff": round(ctl_eff, 3) if ctl_eff else None,
+        "control_levels": control_levels if control else None,
         "loadavg": load,
-        "pass_0.8": any(e >= 0.8 for e in pairs.values()),
+        # the canonical bar is the 2->8 pair when measured; only
+        # non-default level sets fall back to whatever pair ran
+        "pass_0.8": (eff_2_8 >= 0.8) if eff_2_8 is not None
+                    else any(e >= 0.8 for e in pairs.values()),
     }
     print(json.dumps(result))
 

@@ -190,7 +190,7 @@ def test_streaming_exact_dedup_matches_batch(spark, events, tmp_path: Path):
         deduped.writeStream.format("memory").queryName("dedup_test")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "streaming dedup query timed out"
     got = spark.sql("SELECT dup_key, count(*) AS n FROM dedup_test GROUP BY dup_key").collect()
     assert {r["dup_key"] for r in got} == batch_keys
     assert all(r["n"] == 1 for r in got)  # exactly-once per key
