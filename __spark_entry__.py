@@ -799,15 +799,33 @@ def q_confusion_matrix(spark, sf_dir):
       FROM p GROUP BY label
     ), pp AS (
       SELECT pred AS cls, count(*)::BIGINT AS pred_n FROM p GROUP BY pred
+    ), pc AS (
+      SELECT tp.cls AS label,
+             tp.support,
+             tp.tp::DOUBLE / tp.support AS recall,
+             CASE WHEN pp.pred_n > 0 THEN tp.tp::DOUBLE / pp.pred_n ELSE 0.0 END AS precision
+      FROM tp LEFT JOIN pp ON pp.cls = tp.cls
+    ), f AS (
+      SELECT label, support, recall, precision,
+             CASE WHEN precision + recall > 0
+                  THEN 2 * precision * recall / (precision + recall)
+                  ELSE 0.0 END AS f1
+      FROM pc
     )
-    SELECT tp.cls AS label,
-           round(tp.tp::DOUBLE / tp.support, 6) AS recall,
-           round(CASE WHEN pp.pred_n > 0 THEN tp.tp::DOUBLE / pp.pred_n ELSE 0.0 END, 6) AS precision
-    FROM tp LEFT JOIN pp ON pp.cls = tp.cls
+    SELECT label, support,
+           round(recall, 6) AS recall,
+           round(precision, 6) AS precision,
+           round(f1, 6) AS f1,
+           round(avg(f1) OVER (), 6) AS macro_f1,
+           round(sum(f1 * support) OVER () / sum(support) OVER (), 6) AS weighted_f1
+    FROM f
     """,
 )
 def q_precision_recall(spark, sf_dir):
-    """per-class precision/recall (classifiers/utils.py:157-241)."""
+    """per-class precision/recall/F1 + support, and the macro- and
+    support-weighted-F1 summaries (classifiers/utils.py:157-241's
+    micro/macro/weighted/per-class report; micro-F1 == accuracy for
+    single-label multi-class, covered by `confusion_matrix`)."""
     emb = _t(spark, sf_dir, "embeddings")
     pred = F.pmod(
         TX.hex_to_long(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2)), F.lit(10)
@@ -818,12 +836,30 @@ def q_precision_recall(spark, sf_dir):
         F.count("*").alias("support"),
     )
     pp = p.groupBy(F.col("pred").alias("cls")).agg(F.count("*").alias("pred_n"))
-    return tp.join(pp, "cls", "left").select(
+    pc = tp.join(pp, "cls", "left").select(
         F.col("cls").alias("label"),
-        F.round(F.col("tp") / F.col("support"), 6).alias("recall"),
+        F.col("support"),
+        (F.col("tp") / F.col("support")).alias("recall"),
+        F.when(F.col("pred_n") > 0, F.col("tp") / F.col("pred_n"))
+        .otherwise(F.lit(0.0)).alias("precision"),
+    )
+    f1 = F.when(
+        (F.col("precision") + F.col("recall")) > 0,
+        F.lit(2) * F.col("precision") * F.col("recall")
+        / (F.col("precision") + F.col("recall")),
+    ).otherwise(F.lit(0.0))
+    f = pc.withColumn("f1", f1)
+    w = Window.partitionBy()
+    return f.select(
+        "label",
+        "support",
+        F.round("recall", 6).alias("recall"),
+        F.round("precision", 6).alias("precision"),
+        F.round("f1", 6).alias("f1"),
+        F.round(F.avg("f1").over(w), 6).alias("macro_f1"),
         F.round(
-            F.when(F.col("pred_n") > 0, F.col("tp") / F.col("pred_n")).otherwise(F.lit(0.0)), 6
-        ).alias("precision"),
+            F.sum(F.col("f1") * F.col("support")).over(w) / F.sum("support").over(w), 6
+        ).alias("weighted_f1"),
     )
 
 
