@@ -44,6 +44,11 @@ class StageResult:
     manifest_path: str
 
 
+# manifest lineage bound: files beyond this are dropped from the
+# manifest with input_files_truncated=true (never silently)
+MAX_LINEAGE_FILES = 100_000
+
+
 def _fingerprint(parts: list[str]) -> str:
     import hashlib
 
@@ -97,15 +102,27 @@ class CheckpointedPipeline:
         written = self.spark.read.parquet(data_dir)
 
         # stage-level input lineage: the distinct source files the
-        # upstream scan read (empty for non-file sources)
+        # upstream scan read (empty for non-file sources). Bounded:
+        # at 10^12-row scale a stage can read millions of files — the
+        # manifest records up to MAX_LINEAGE_FILES and FLAGS the
+        # truncation explicitly (a silently capped list would read as
+        # "complete" in an audit).
         input_files: list[str] = []
+        input_files_truncated = False
         if upstream is not None:
             try:
-                input_files = sorted(
-                    os.path.basename(r[0])
-                    for r in upstream.select(F.input_file_name()).distinct().collect()
-                    if r[0]
+                rows = (
+                    upstream.select(F.input_file_name().alias("f"))
+                    .distinct()
+                    .limit(MAX_LINEAGE_FILES + 1)
+                    .collect()
                 )
+                input_files = sorted(
+                    os.path.basename(r["f"]) for r in rows if r["f"]
+                )
+                if len(input_files) > MAX_LINEAGE_FILES:
+                    input_files = input_files[:MAX_LINEAGE_FILES]
+                    input_files_truncated = True
             except Exception:
                 input_files = []
 
@@ -130,6 +147,7 @@ class CheckpointedPipeline:
             "rows": rows,
             "wall_sec": round(wall, 3),
             "input_files": input_files,
+            "input_files_truncated": input_files_truncated,
             "partitions": {
                 str(r["__part_id"]): {
                     "rows": r["rows"],
