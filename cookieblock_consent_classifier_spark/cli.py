@@ -32,6 +32,18 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--input", required=True, help="parquet path or synth:<num_entities>")
     ap.add_argument("--output", required=True)
     ap.add_argument("--format", default="parquet", choices=["parquet", "libsvm"])
+    ap.add_argument(
+        "--mode", default="extract", choices=["extract", "predict"],
+        help="extract = training extraction (prepare_training_data.py "
+        "analogue); predict = inference dataflow (predict_class.py "
+        "analogue: no label filter, score, Bayesian decision, "
+        "predictions JSON + consent histogram)",
+    )
+    ap.add_argument(
+        "--cmp-prefix", default="OptanonConsent",
+        help="predict mode: cookie-name prefix for the consent histogram "
+        "(predict_class.py:152-161)",
+    )
     ap.add_argument("--num-updates", type=int, default=None,
                     help="override num_updates (default: config value, else 1)")
     ap.add_argument("--num-diffs", type=int, default=None,
@@ -84,15 +96,51 @@ def main(argv: list[str] | None = None) -> None:
     src = pipe.stage("scan", load)
 
     names_holder: list[list[str]] = []
+    training = args.mode == "extract"
 
     def extract(df):
-        wide, names = compile_features(df, schema, res)
+        wide, names = compile_features(
+            df, schema, res, training=training, with_weights=training
+        )
         names_holder.append(names)
         return wide
 
     feat = pipe.stage("extract", extract, upstream=src.df, upstream_fingerprint="scan")
-
     names = names_holder[0] if names_holder else schema.feature_names()
+
+    if args.mode == "predict":
+        # inference dataflow (predict_class.py:107-161): score ->
+        # Bayesian loss-matrix decision -> predictions JSON + the
+        # consent-cookie histogram for the CMP name prefix
+        from cookieblock_consent_classifier_spark import predict as P
+
+        # the sparse feature row drops entity attrs; re-attach the
+        # cookie name from the scan stage for the histogram filter
+        names_df = src.df.select("entity_id", "name").dropDuplicates(["entity_id"])
+
+        def predict_stage(df):
+            return (
+                P.predict(df)
+                .join(names_df, "entity_id", "left")
+                .select("entity_id", "name", "probs", "predicted_label")
+            )
+
+        pred = pipe.stage(
+            "predict", predict_stage, upstream=feat.df, upstream_fingerprint="extract",
+        )
+        P.write_predictions_json(pred.df, os.path.join(args.output, "predictions_json"))
+        hist = P.consent_histogram(
+            pred.df.select("entity_id", "predicted_label"),
+            pred.df.select("entity_id", "name"),
+            args.cmp_prefix,
+        ).collect()
+        print(json.dumps({
+            "stages": pipe.metrics(),
+            "width": len(names),
+            "consent_histogram": {str(r["predicted_label"]): r["n"] for r in hist},
+        }))
+        return
+
     if args.format == "libsvm":
         sinks.write_libsvm(feat.df, os.path.join(args.output, "features_libsvm"))
     else:
