@@ -863,9 +863,18 @@ def q_precision_recall(spark, sf_dir):
     )
 
 
-@_q(
-    "bayes_decision",
-    """
+def _xgb_oracle_sql() -> str:
+    """DuckDB twin of the fixture-dump XGB scorer: the SAME tree dump
+    (xgb.fixture_dump) rendered as CASE chains by xgb.forest_margin_sql
+    — margins are bit-exact vs the Spark expression (left-assoc double
+    sums over identical literals, pinned in tests/test_xgb.py); the
+    softmax probability is rounded 6dp on both sides (exp may differ
+    by 1 ulp across engines)."""
+    from cookieblock_consent_classifier_spark import xgb  # noqa: PLC0415
+
+    forests = xgb.class_forests_full(xgb.fixture_dump(), 4)
+    m = xgb.forest_margin_sql(forests, lambda i: f"p{i}")
+    return f"""
     WITH s AS (
       SELECT vec_id,
              CAST(embedding[1] AS DOUBLE) AS p0, CAST(embedding[2] AS DOUBLE) AS p1,
@@ -876,20 +885,36 @@ def q_precision_recall(spark, sf_dir):
              p0*0.0 + p1*1.0 + p2*2.0 + p3*3.0 AS d0,
              p0*1.0 + p1*0.0 + p2*1.0 + p3*2.0 AS d1,
              p0*2.0 + p1*1.0 + p2*0.0 + p3*1.0 AS d2,
-             p0*3.0 + p1*2.0 + p2*1.0 + p3*0.0 AS d3
+             p0*3.0 + p1*2.0 + p2*1.0 + p3*0.0 AS d3,
+             {m[0]} AS m0, {m[1]} AS m1, {m[2]} AS m2, {m[3]} AS m3
       FROM s
     )
     SELECT vec_id,
            CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
                 WHEN d1 <= d2 AND d1 <= d3 THEN 1
-                WHEN d2 <= d3 THEN 2 ELSE 3 END AS decision
+                WHEN d2 <= d3 THEN 2 ELSE 3 END AS decision,
+           CASE WHEN m0 >= m1 AND m0 >= m2 AND m0 >= m3 THEN 0
+                WHEN m1 >= m2 AND m1 >= m3 THEN 1
+                WHEN m2 >= m3 THEN 2 ELSE 3 END AS xgb_pred,
+           m0 AS xgb_m0,
+           round(exp(m0) / (exp(m0) + exp(m1) + exp(m2) + exp(m3)), 6) AS xgb_p0
     FROM d
-    """,
-)
+    """
+
+
+@_q("bayes_decision", _xgb_oracle_sql())
 def q_bayes_decision(spark, sf_dir):
     """Bayesian decision argmin(probs @ loss_matrix)
     (classifiers/utils.py:85-125; predict_class.py:35-53) with a 4x4
-    distance loss; ties break to the lowest class index."""
+    distance loss; ties break to the lowest class index. PLUS the
+    dump-based XGBoost scorer (xgb.py; xgbpredictor_dump.py:30-135
+    semantics) over the fixture tree dump, scored through the REAL
+    sparse-row path (map_from_arrays + try_element_at lookups):
+    per-class margin (exact double), first-max argmax prediction, and
+    6dp-rounded softmax probability — all value-matched against the
+    DuckDB CASE-tree twin generated from the same dump."""
+    from cookieblock_consent_classifier_spark import xgb
+
     emb = _t(spark, sf_dir, "embeddings")
     loss = [[0.0, 1.0, 2.0, 3.0], [1.0, 0.0, 1.0, 2.0],
             [2.0, 1.0, 0.0, 1.0], [3.0, 2.0, 1.0, 0.0]]
@@ -901,7 +926,22 @@ def q_bayes_decision(spark, sf_dir):
         .when(d[2] <= d[3], 2)
         .otherwise(3)
     )
-    return emb.select("vec_id", decision.alias("decision"))
+    sparse = emb.select(
+        "vec_id",
+        decision.alias("decision"),
+        F.array(*[F.lit(i) for i in range(4)]).cast("array<int>").alias("indices"),
+        F.array(*p).alias("values"),
+    )
+    forests = xgb.class_forests_full(xgb.fixture_dump(), 4)
+    margins = xgb.forest_margins(forests, xgb.sparse_feat())
+    probs = xgb.softmax_cols(margins)
+    return sparse.select(
+        "vec_id",
+        "decision",
+        xgb.argmax_first(margins).alias("xgb_pred"),
+        margins[0].alias("xgb_m0"),
+        F.round(F.element_at(probs, 1), 6).alias("xgb_p0"),
+    )
 
 
 @_q(

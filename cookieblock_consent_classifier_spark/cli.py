@@ -44,6 +44,19 @@ def main(argv: list[str] | None = None) -> None:
         help="predict mode: cookie-name prefix for the consent histogram "
         "(predict_class.py:152-161)",
     )
+    ap.add_argument(
+        "--model-dump", default=None,
+        help="predict mode: path to an XGBoost JSON tree dump; scores "
+        "with the dump-compiled native predictor (xgbpredictor_dump.py "
+        "analogue, equal-loss decision == predict_class.py:135) instead "
+        "of the deterministic stub scorer",
+    )
+    ap.add_argument(
+        "--dump-format", default="full", choices=["full", "sparse"],
+        help="--model-dump layout: full = one xgboost JSON dump "
+        "(flat tree list, round-robin classes); sparse = JSON list of "
+        "per-class minimal-format forests (xgbpredictor_sparsedump.py)",
+    )
     ap.add_argument("--num-updates", type=int, default=None,
                     help="override num_updates (default: config value, else 1)")
     ap.add_argument("--num-diffs", type=int, default=None,
@@ -118,9 +131,19 @@ def main(argv: list[str] | None = None) -> None:
         # cookie name from the scan stage for the histogram filter
         names_df = src.df.select("entity_id", "name").dropDuplicates(["entity_id"])
 
+        score_fn = None
+        loss = None
+        if args.model_dump:
+            from cookieblock_consent_classifier_spark import xgb  # noqa: PLC0415
+
+            with open(args.model_dump) as fd:
+                dump = json.load(fd)
+            score_fn = xgb.dump_score_fn(dump, fmt=args.dump_format)
+            loss = P.EQUAL_LOSS  # predict_class.py:135
+
         def predict_stage(df):
             return (
-                P.predict(df)
+                P.predict(df, score_fn=score_fn, loss=loss)
                 .join(names_df, "entity_id", "left")
                 .select("entity_id", "name", "probs", "predicted_label")
             )

@@ -27,6 +27,16 @@ DEFAULT_LOSS = [
     [3.0, 2.0, 1.0, 0.0],
 ]
 
+# ones-minus-identity loss == plain argmax with first-max tie-break
+# (utils.py:107-112 get_equal_loss_weights; predict_class.py:135 uses
+# exactly this matrix for the real inference run)
+EQUAL_LOSS = [
+    [0.0, 1.0, 1.0, 1.0],
+    [1.0, 0.0, 1.0, 1.0],
+    [1.0, 1.0, 0.0, 1.0],
+    [1.0, 1.0, 1.0, 0.0],
+]
+
 
 def stub_scores(num_classes: int = 4) -> Column:
     """Deterministic per-class scores from the sparse feature row:

@@ -191,6 +191,43 @@ def load_reference_processor():
     return rp
 
 
+def load_reference_dump_predictors():
+    """Import the reference's pure-Python dump predictors
+    (classifiers/xgbpredictor_dump.py, xgbpredictor_sparsedump.py) —
+    the golden oracle for the engine's xgb.py tree-scoring. They pull
+    in classifiers/utils.py (sklearn.metrics names) and docopt at
+    module level, so shim those too; `main()` is __main__-guarded, no
+    import side effects. Returns (dump_mod, sparsedump_mod)."""
+    install_shims()
+
+    def _unavailable(*a, **k):
+        raise NotImplementedError("not available in this container")
+
+    if "docopt" not in sys.modules:
+        d = _module("docopt")
+        d.docopt = _unavailable
+        sys.modules["docopt"] = d
+    skm = sys.modules.get("sklearn.metrics")
+    if skm is None:
+        skm = _module("sklearn.metrics")
+        for name in ("precision_score", "recall_score", "accuracy_score", "f1_score"):
+            setattr(skm, name, _unavailable)
+        sys.modules["sklearn.metrics"] = skm
+        sys.modules["sklearn"].metrics = skm
+    # utils.py needs load_svmlight_file as well (shim ships dump_ only)
+    skd = sys.modules["sklearn.datasets"]
+    if not hasattr(skd, "load_svmlight_file"):
+        skd.load_svmlight_file = _unavailable
+
+    cls_dir = REFERENCE_ROOT + "/classifiers"
+    if cls_dir not in sys.path:
+        sys.path.insert(0, cls_dir)
+    import xgbpredictor_dump as fd  # noqa: PLC0415
+    import xgbpredictor_sparsedump as sd  # noqa: PLC0415
+
+    return fd, sd
+
+
 def reference_dense_matrix(proc) -> np.ndarray:
     """Dense (n_rows, num_features) matrix from a processor that has
     run extract_features — trailing never-inserted columns padded."""

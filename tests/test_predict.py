@@ -120,3 +120,39 @@ def test_cli_predict_mode(spark, tmp_path):
                 rows += [J.loads(line) for line in fd if line.strip()]
     assert len(rows) == 100
     assert all(0 <= r["predicted_label"] <= 3 for r in rows)
+
+
+def test_cli_predict_mode_with_model_dump(spark, tmp_path):
+    """--model-dump scores with the dump-compiled native predictor
+    (xgbpredictor_dump.py analogue) and the equal-loss decision
+    (predict_class.py:135) instead of the stub scorer."""
+    import contextlib
+    import io
+    import json as J
+    import os
+
+    from cookieblock_consent_classifier_spark import xgb
+    from cookieblock_consent_classifier_spark.cli import main as cli_main
+
+    dump_path = str(tmp_path / "model_dump.json")
+    with open(dump_path, "w", encoding="utf-8") as fd:
+        J.dump(xgb.fixture_dump(), fd)
+
+    out = str(tmp_path / "pred_dump_out")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli_main([
+            "--input", "synth:60", "--output", out, "--mode", "predict",
+            "--cmp-prefix", "cookie_", "--model-dump", dump_path,
+        ])
+    res = J.loads(buf.getvalue().strip().splitlines()[-1])
+    assert {s["stage"] for s in res["stages"]} == {"scan", "extract", "predict"}
+
+    pred_dir = os.path.join(out, "predictions_json")
+    rows = []
+    for f in os.listdir(pred_dir):
+        if f.startswith("part-"):
+            with open(os.path.join(pred_dir, f), encoding="utf-8") as fd:
+                rows += [J.loads(line) for line in fd if line.strip()]
+    assert len(rows) == 60
+    assert all(0 <= r["predicted_label"] <= 3 for r in rows)
