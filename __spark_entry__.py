@@ -380,15 +380,26 @@ def q_backfill(spark, sf_dir):
       FROM events
     )
     SELECT event_id,
-           bit_count(xor(phash, lag(phash) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::INT AS phash_delta
+           bit_count(xor(phash, lag(phash) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::INT AS phash_delta,
+           TRUE AS synth_phash_ok
     FROM p
     """,
 )
 def q_phash_delta(spark, sf_dir):
     """per-entity consecutive phash hamming delta (input_hint image
     feature; functions/image.py hamming64) over a deterministic
-    md5-derived phash so DuckDB can oracle it."""
+    md5-derived phash so DuckDB can oracle it. PLUS the stored-phash
+    consistency invariant through the gate: `synth_phash_ok` is TRUE
+    in the oracle, and on the Spark side it is COMPUTED — a
+    deterministic synthetic image table is encoded, shipped as binary,
+    decoded and re-phashed by the Arrow kernel
+    (image.phash_from_bytes), and bool_and'ed against the stored
+    phash column (the input_hint invariant phash == phash(decode(
+    bytes))). Any codec/plumbing divergence flips the value and the
+    row hash goes red."""
+    from cookieblock_consent_classifier_spark.functions import image as I
     from cookieblock_consent_classifier_spark.functions.image import hamming64
+    from cookieblock_consent_classifier_spark.sources.synth import synth_image_updates
 
     ev = _t(spark, sf_dir, "events").withColumn(
         "phash",
@@ -396,10 +407,15 @@ def q_phash_delta(spark, sf_dir):
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("phash").over(w)
+    ok = (
+        synth_image_updates(spark, num_entities=12, updates_per_entity=3, hot_entities=0)
+        .select((I.phash_from_bytes("bytes") == F.col("phash")).alias("ok"))
+        .agg(F.bool_and("ok").alias("synth_phash_ok"))
+    )
     return ev.select(
         "event_id",
         F.when(prev.isNotNull(), hamming64(F.col("phash"), prev)).cast("int").alias("phash_delta"),
-    )
+    ).crossJoin(F.broadcast(ok))
 
 
 # =====================================================================
