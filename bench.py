@@ -6,6 +6,26 @@ Metric (BASELINE.json): entity-timestamps/sec of feature rows
 materialized by the flagship feature pipeline; per-query wall times
 for the operator suite. Scaling-efficiency evidence (local[8] vs
 local[32]) is produced by scripts/bench_scaling.py → BENCH/BASELINE.md.
+
+Measurement protocol (the host is SHARED; identical runs vary up to
+3x under external load):
+- every suite query runs 3 times, each from a FRESHLY built plan
+  (the module-level plan cache is cleared per repetition — re-writing
+  the same DataFrame reuses shuffle files and under-reports), and the
+  reported construct/exec are the per-phase minima (least-contended
+  observation);
+- the 1-minute loadavg is recorded per query so a contaminated number
+  is identifiable in the artifact itself;
+- the Python worker pool is warmed for BOTH pandas-UDF eval types
+  (SCALAR and SCALAR_ITER) before timing starts.
+
+The two cookie-pipeline suite entries run on their pinned 1.5k-row
+determinism input, where per-action fixed cost (codegen of the wide
+selects, broadcast builds, 3 Arrow stage launches) dominates — those
+numbers are shape pins, not throughput. Throughput for the same plans
+is measured separately in "pipeline_scaled": the identical
+compile_features plan over an sf-proportional synthetic input
+(500k entities/sf × 3 updates), reported as rows/sec.
 """
 
 from __future__ import annotations
@@ -49,6 +69,127 @@ BENCH_QUERIES = [
     "cookie_pipeline_fullwidth",
 ]
 
+REPEATS = 3
+
+
+def _loadavg1() -> float:
+    with open("/proc/loadavg") as fd:
+        return float(fd.read().split()[0])
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _warm(spark, cpus: int) -> None:
+    """JIT/codegen warm-up plus the Python worker pool for BOTH
+    pandas-UDF eval types: the first pandas-UDF stage spawns one
+    worker per core (~10s one-time on 32 cores) and worker reuse is
+    keyed per eval mode — warming only SCALAR_ITER would leave the
+    first SCALAR query to re-absorb spawn cost."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql.functions import PandasUDFType  # noqa: PLC0415
+
+    qs = entrymod.queries()
+    _noop(qs["tpch_q1"](spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")))
+
+    # (explicit Iterator form: `from __future__ import annotations`
+    # stringifies hints, which pandas_udf's type inference rejects)
+    def _warm_iter(it):
+        for s in it:
+            yield s * 1.0
+
+    def _warm_scalar(s):
+        return s * 1.0
+
+    for udf in (
+        F.pandas_udf(_warm_iter, "double", PandasUDFType.SCALAR_ITER),
+        F.pandas_udf(_warm_scalar, "double", PandasUDFType.SCALAR),
+    ):
+        _noop(
+            spark.range(0, 10_000, 1, cpus).select(udf(F.col("id").cast("double")))
+        )
+
+
+def _bench_suite(spark, sf_dir: str):
+    """min-of-REPEATS construct/exec per query, fresh plan each run."""
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    construct: dict[str, float] = {}
+    loadavg: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        loadavg[name] = _loadavg1()
+        best_c = best_e = float("inf")
+        for _ in range(REPEATS):
+            # fresh plan every run: cached DataFrames reuse shuffle
+            # files across writes and under-report exec
+            entrymod._PLAN_CACHE.clear()
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            t1 = time.perf_counter()
+            _noop(df)
+            t2 = time.perf_counter()
+            best_c = min(best_c, t1 - t0)
+            best_e = min(best_e, t2 - t1)
+        construct[name] = round(best_c, 3)
+        timings[name] = round(best_e, 3)
+    return timings, construct, loadavg
+
+
+def _scaled_pipeline_plan(spark, sf: float, fullwidth: bool):
+    """The SAME compile_features plan as the suite's two pipeline
+    entries, over an sf-proportional synthetic input (500k entities at
+    sf=1.0, x3 updates each) — exec here measures rows/sec, with the
+    per-action fixed cost amortized the way a real-scale run would."""
+    from cookieblock_consent_classifier_spark.plans.compiler import (  # noqa: PLC0415
+        compile_features, default_schema,
+    )
+    from cookieblock_consent_classifier_spark.sources.config import (  # noqa: PLC0415
+        load_features_config,
+    )
+    from cookieblock_consent_classifier_spark.sources.resources import (  # noqa: PLC0415
+        fixture_resources,
+    )
+    from cookieblock_consent_classifier_spark.sources.synth import (  # noqa: PLC0415
+        synth_cookie_updates,
+    )
+
+    n_entities = max(1_000, int(500_000 * sf))
+    df = synth_cookie_updates(spark, num_entities=n_entities, updates_per_entity=3)
+    if fullwidth:
+        schema, res = load_features_config(
+            "/root/reference/feature_extraction/features.json",
+            base_dir="/root/reference",
+        )
+    else:
+        res = fixture_resources()
+        schema = default_schema(res, num_updates=2, num_diffs=1)
+    wide, _ = compile_features(df, schema, res)
+    return wide, n_entities * 3
+
+
+def _bench_scaled_pipelines(spark, sf: float):
+    out = {}
+    for label, fullwidth in (
+        ("cookie_feature_pipeline", False),
+        ("cookie_pipeline_fullwidth", True),
+    ):
+        best = float("inf")
+        rows = 0
+        la = _loadavg1()
+        for _ in range(2):
+            wide, rows = _scaled_pipeline_plan(spark, sf, fullwidth)
+            t0 = time.perf_counter()
+            _noop(wide)
+            best = min(best, time.perf_counter() - t0)
+        out[label] = {
+            "input_rows": rows,
+            "sec": round(best, 3),
+            "rows_per_sec": round(rows / best, 1) if best > 0 else 0.0,
+            "loadavg": la,
+        }
+    return out
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,73 +198,28 @@ def main() -> None:
     spark = get_spark(
         app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
     )
-    qs = entrymod.queries()
+    _warm(spark, int(cpus))
 
-    # warm-up: JIT, codegen cache, Arrow worker pool — otherwise the
-    # first timed query absorbs ~2s of one-time JVM cost
-    qs["tpch_q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    # ... and the Python worker pool: the first pandas-UDF stage spawns
-    # one worker per core (~10s one-time on 32 cores). Workers are
-    # reused (spark.python.worker.reuse), so a tiny Arrow UDF across
-    # all cores moves that cost out of the first timed kernel query.
-    from pyspark.sql import functions as F  # noqa: PLC0415
-
-    # (explicit Iterator form: `from __future__ import annotations`
-    # stringifies hints, which pandas_udf's type inference rejects)
-    def _warm_fn(it):
-        for s in it:
-            yield s * 1.0
-
-    from pyspark.sql.functions import PandasUDFType  # noqa: PLC0415
-
-    _warm = F.pandas_udf(_warm_fn, "double", PandasUDFType.SCALAR_ITER)
-    spark.range(0, 10_000, 1, int(cpus)).select(
-        _warm(F.col("id").cast("double"))
-    ).write.format("noop").mode("overwrite").save()
-
-    # timings are split per query:
-    #   construct = the qs[name](...) call — driver-side plan
-    #     compilation; for iterative operators (connected components,
-    #     Lloyd refine) this legitimately includes the actions they
-    #     run while converging
-    #   exec = the noop write of the returned DataFrame — the cluster
-    #     execution cost, the number that scales with data
-    # "queries" carries exec (the trend line, round-1 semantics);
-    # "construct" is reported separately so driver-side compile cost
-    # doesn't pollute the scaling signal (round-2 merged them, which
-    # made the two pipeline entries look like 30-50 s regressions).
-    timings: dict[str, float] = {}
-    construct: dict[str, float] = {}
     t_all = time.perf_counter()
-    for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        t1 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        t2 = time.perf_counter()
-        construct[name] = round(t1 - t0, 3)
-        timings[name] = round(t2 - t1, 3)
+    timings, construct, loadavg = _bench_suite(spark, sf_dir)
     total_sec = time.perf_counter() - t_all
 
     # flagship throughput: entity-timestamp rows materialized per sec
-    # (the north-rule metric) over the composite feature pipeline
+    # (the north-rule metric) over the composite feature pipeline.
+    # Min of 3 with the plan REBUILT per run (same-DF rewrites reuse
+    # shuffle files and measure only post-shuffle stages).
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     n_entity_ts = ev.count()
-    # entry() is pinned to sf0.001 for the smoke check; rebuild the same
-    # flagship plan at the bench SF via the module helper. Min of 3 runs:
-    # the sandbox host is shared and identical runs vary up to 3x under
-    # external load — the fastest run is the least-contended measurement
     flagship_runs = []
     for _ in range(3):
-        # rebuild the plan each run: re-writing the SAME DataFrame lets
-        # Spark reuse its shuffle files and the repeat runs measure only
-        # the post-shuffle stages — a fresh plan keeps every run honest
         flagship = _flagship_at(spark, sf_dir)
         t0 = time.perf_counter()
-        flagship.write.format("noop").mode("overwrite").save()
+        _noop(flagship)
         flagship_runs.append(round(time.perf_counter() - t0, 3))
     flagship_sec = min(flagship_runs)
     throughput = n_entity_ts / flagship_sec if flagship_sec > 0 else 0.0
+
+    pipeline_scaled = _bench_scaled_pipelines(spark, sf)
 
     print(
         json.dumps(
@@ -133,12 +229,15 @@ def main() -> None:
                 "unit": "rows/sec",
                 "queries": timings,
                 "construct": construct,
+                "loadavg": loadavg,
+                "pipeline_scaled": pipeline_scaled,
                 "total_sec": round(total_sec, 3),
                 "flagship_sec": round(flagship_sec, 3),
                 "flagship_runs": flagship_runs,
                 "input_rows": n_entity_ts,
                 "cpus": int(cpus),
                 "sf": sf,
+                "repeats": REPEATS,
             }
         )
     )
