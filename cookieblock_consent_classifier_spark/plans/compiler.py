@@ -207,6 +207,20 @@ RANK_FEATURES = {"content_eng_terms", "top_names", "top_domains", "pattern_names
 # the compiler
 # ---------------------------------------------------------------------------
 
+def _sql_in_set(col_name: str, values) -> Column:
+    """``col IN (...)`` built as ONE SQL-text expression. Column.isin
+    marshals every literal through its own py4j round-trip (the 568
+    IAB vendors cost ~0.2s of driver time per compile); a single
+    F.expr parse yields the identical Catalyst In/InSet (hash-set
+    probe at runtime), so execution is unchanged."""
+    if not values:
+        return F.lit(False)
+    q = ",".join(
+        "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'" for v in values
+    )
+    return F.expr(f"`{col_name}` IN ({q})")
+
+
 def compile_features(
     df: DataFrame,
     schema: FeatureSchema,
@@ -448,11 +462,13 @@ def compile_features(
     if "top_names" in enabled_pe:
         tn = rank_df(spark, res.top_names, "name").withColumnRenamed("rank", "__tn_rank")
         ent = ent.join(F.broadcast(tn), "name", "left")
+    if "top_domains" in enabled_pe or "iab_vendor" in enabled_pe:
+        # shared by the top_domains rank join and the iab_vendor
+        # membership probe (same uniform_domain expression)
+        ent = ent.withColumn("__udom", native.uniform_domain("domain"))
     if "top_domains" in enabled_pe:
         td = rank_df(spark, res.top_domains, "__udom").withColumnRenamed("rank", "__td_rank")
-        ent = ent.withColumn("__udom", native.uniform_domain("domain")).join(
-            F.broadcast(td), "__udom", "left"
-        )
+        ent = ent.join(F.broadcast(td), "__udom", "left")
     if "pattern_names" in enabled_pe:
         ent = ent.withColumn(
             "__pat_ranks", V.regex_ranks_udf(res.name_patterns, mode="match")("name")
@@ -468,7 +484,7 @@ def compile_features(
         "top_domains": F.when(F.col("__td_rank").isNotNull(), F.array(F.col("__td_rank"))).otherwise(F.array().cast("array<int>")) if "top_domains" in enabled_pe else None,
         "pattern_names": F.col("__pat_ranks") if "pattern_names" in enabled_pe else None,
         "name_tokens": F.col("__tok_ranks") if "name_tokens" in enabled_pe else None,
-        "iab_vendor": [F.when(native.uniform_domain("domain").isin(*res.iab_vendors), F.lit(1.0))],
+        "iab_vendor": [F.when(_sql_in_set("__udom", res.iab_vendors), F.lit(1.0))],
         "domain_period": [native.domain_period("domain")],
         "host_only": [F.col("e__host_only")],
         "third_party": [native.is_third_party("domain", "first_party_domain")],
