@@ -1915,11 +1915,14 @@ def q_session_window_agg(spark, sf_dir):
     )
 
 
-@_q("predict_pipeline")  # scorer stub is engine-internal: rows-only
+@_q("predict_pipeline")  # synthetic input + fixture model: rows-only
 def q_predict_pipeline(spark, sf_dir):
     """inference dataflow (predict_class.py analogue): no-filter
-    extraction -> pluggable scorer -> bayesian loss-matrix decision."""
-    from cookieblock_consent_classifier_spark import predict as P
+    extraction -> dump-compiled XGB scorer (xgb.py over the fixture
+    tree dump; scorer semantics value-gated via the bayes_decision
+    oracle and golden-pinned in tests/test_xgb.py) -> equal-loss
+    bayesian decision (predict_class.py:135)."""
+    from cookieblock_consent_classifier_spark import predict as P, xgb
     from cookieblock_consent_classifier_spark.plans.compiler import (
         compile_features, default_schema,
     )
@@ -1932,7 +1935,9 @@ def q_predict_pipeline(spark, sf_dir):
     if cached is None:
         df = synth_cookie_updates(spark, num_entities=300, updates_per_entity=3)
         wide, _ = compile_features(df, default_schema(res), res, training=False)
-        cached = P.predict(wide)
+        cached = P.predict(
+            wide, score_fn=xgb.dump_score_fn(xgb.fixture_dump()), loss=P.EQUAL_LOSS
+        )
         _PLAN_CACHE[key] = cached
     return cached.select(
         "entity_id", "predicted_label",
