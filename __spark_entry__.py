@@ -949,9 +949,14 @@ def q_bayes_decision(spark, sf_dir):
         F.array(*p).alias("values"),
     )
     forests = xgb.class_forests_full(xgb.fixture_dump(), 4)
-    margins = xgb.forest_margins(forests, xgb.sparse_feat())
+    # two-phase: extract the forest's features once (unconditional
+    # projection → CSE works), trees reference plain attributes
+    lookup = xgb.sparse_feat()
+    feats = xgb.forest_features(forests)
+    aug = sparse.select("*", *[lookup(i).alias(f"__xf_{i}") for i in feats])
+    margins = xgb.forest_margins(forests, lambda i: F.col(f"__xf_{i}"))
     probs = xgb.softmax_cols(margins)
-    return sparse.select(
+    return aug.select(
         "vec_id",
         "decision",
         xgb.argmax_first(margins).alias("xgb_pred"),

@@ -82,13 +82,24 @@ def bayesian_decision(probs: Column, loss: list[list[float]] | None = None) -> C
 
 def predict(
     assembled: DataFrame,
-    score_fn: Callable[[DataFrame], Column] | None = None,
+    score_fn: Callable[[DataFrame], Column | tuple[DataFrame, Column]] | None = None,
     loss: list[list[float]] | None = None,
 ) -> DataFrame:
     """(entity_id, indices, values, ...) → (entity_id, probs,
-    predicted_label)."""
-    probs = (score_fn(assembled) if score_fn else stub_scores())
+    predicted_label).
+
+    ``score_fn`` may return either a probs Column, or an
+    (augmented_df, probs) pair when it needs scratch columns computed
+    in an unconditional projection first (the xgb expression path does
+    — CASE-branch subexpressions get no elimination); ``__xf_``
+    scratch columns are dropped from the output."""
+    res = score_fn(assembled) if score_fn else stub_scores()
+    if isinstance(res, tuple):
+        assembled, probs = res
+    else:
+        probs = res
     out = assembled.withColumn("probs", probs)
+    out = out.drop(*[c for c in out.columns if c.startswith("__xf_")])
     return out.withColumn("predicted_label", bayesian_decision(F.col("probs"), loss))
 
 

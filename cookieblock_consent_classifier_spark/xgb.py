@@ -245,10 +245,31 @@ def probs_kernel_udf(class_forests: list[list[dict]], fmt: str = "full"):
 
 # -- the pluggable scorer (predict.py contract) -----------------------
 
-# Above this many total dump nodes the compiled CASE chain stops being
-# the cheap path (driver compile + codegen blowup) and the Arrow
-# kernel wins; chosen from fixture measurements in tests/test_xgb.py.
-DEFAULT_MAX_EXPR_NODES = 4000
+# Above this many total dump nodes the Arrow kernel wins decisively:
+# measured at 100k rows/local[8] (BENCH/BASELINE.md §Round 4), the
+# compiled CASE path is ~0.6s exec at 120 nodes (vs kernel 0.9s) but
+# 9s at 496 nodes and ~20s at 4k (vs kernel ~1-5s flat) — giant
+# nested CaseWhen projections leave codegen's fast path — and driver
+# compile grows linearly (~14s at 2k nodes). The expression path is
+# for small/fixture models where plan purity (zero Python) matters.
+DEFAULT_MAX_EXPR_NODES = 256
+
+
+def forest_features(class_forests: list[list[dict]], fmt: str = "full") -> list[int]:
+    """Sorted distinct feature indices referenced by any tree."""
+    out: set[int] = set()
+    key = "split" if fmt == "full" else "f"
+    def walk(node: dict) -> None:
+        if "leaf" in node or "v" in node:
+            return
+        out.add(int(node[key]))
+        kids = node["children"] if "children" in node else [node["l"], node["r"]]
+        for k in kids:
+            walk(k)
+    for f in class_forests:
+        for t in f:
+            walk(t)
+    return sorted(out)
 
 
 def dump_score_fn(
@@ -256,14 +277,23 @@ def dump_score_fn(
     num_classes: int = 4,
     fmt: str = "full",
     max_expr_nodes: int = DEFAULT_MAX_EXPR_NODES,
-) -> Callable[[DataFrame], Column]:
+) -> Callable[[DataFrame], Column | tuple[DataFrame, Column]]:
     """score_fn for predict.predict(): sparse feature rows →
     array<double> softmax probabilities.
 
     ``fmt="full"``: model_dump is the flat tree list of an xgboost
     JSON dump (round-robin class assignment). ``fmt="sparse"``:
     model_dump is already a list of per-class forests (one minimal
-    dump file per class, xgbpredictor_sparsedump.py:117-128)."""
+    dump file per class, xgbpredictor_sparsedump.py:117-128).
+
+    The expression path returns (augmented_df, probs): each DISTINCT
+    feature the forest references is extracted ONCE into a ``__xf_i``
+    column in an unconditional projection, and the tree CASE chains
+    reference those plain attributes. Inlining the map lookup at every
+    node is catastrophically slower — Spark's subexpression
+    elimination skips expressions under conditional (CASE) branches,
+    so each of the N tree nodes would rebuild map_from_arrays per row
+    (measured 7x at ~500 nodes, BENCH/BASELINE.md §Round 4)."""
     if fmt == "full":
         validate_full_dump(model_dump, num_classes)
         forests = class_forests_full(model_dump, num_classes)
@@ -272,11 +302,17 @@ def dump_score_fn(
         if len(forests) != num_classes:
             raise ValueError(f"expected {num_classes} per-class forests, got {len(forests)}")
     total_nodes = sum(count_nodes(t) for f in forests for t in f)
+    feats_used = forest_features(forests, fmt)
 
-    def score(assembled: DataFrame) -> Column:  # noqa: ARG001 — column-only
+    def score(assembled: DataFrame) -> Column | tuple[DataFrame, Column]:
         if total_nodes <= max_expr_nodes:
-            margins = forest_margins(forests, sparse_feat(), fmt)
-            return softmax_cols(margins)
+            lookup = sparse_feat()
+            aug = assembled.select(
+                "*", *[lookup(i).alias(f"__xf_{i}") for i in feats_used]
+            )
+            feat = lambda i: F.col(f"__xf_{i}")  # noqa: E731
+            margins = forest_margins(forests, feat, fmt)
+            return aug, softmax_cols(margins)
         return probs_kernel_udf(forests, fmt)(F.col("indices"), F.col("values"))
 
     return score
