@@ -71,9 +71,20 @@ def apply_asof_state(
     on: str,
     payload: Sequence[str],
     suffix: str = "_asof",
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """The state stage over a tagged_union stream: groupBy(entity) →
-    applyInPandasWithState holding (last_dim_ts_us, *payload)."""
+    applyInPandasWithState holding (last_dim_ts_us, *payload).
+
+    ``state_ttl`` (e.g. "30 days"): bound the state store under
+    unbounded entity cardinality — the 10^12-entity concern. Requires
+    a watermark on ``__ets`` (set one on the unioned stream before
+    calling); an entity with no dim OR fact activity since the
+    watermark minus nothing (i.e. whose timeout timestamp passed the
+    watermark) is EVICTED, and a later fact for it re-opens with null
+    state — same answer the batch join gives a fact whose only dim
+    rows were dropped by retention. Each batch re-arms the timeout at
+    the entity's max seen event time + ttl."""
     fact_names = [f.name for f in fact_schema.fields]
     out_names = fact_names + [f"{p}{suffix}" for p in payload]
     out_schema = StructType(
@@ -85,12 +96,30 @@ def apply_asof_state(
         + [StructField(f"p_{i}", f.dataType) for i, f in enumerate(dim_payload_fields)]
     )
     n_payload = len(payload)
+    # pandas upcasts nullable int columns to float64 (1 → 1.0, null →
+    # NaN); writing a float into an integral state field silently
+    # round-trips as NULL, so coerce per declared payload type
+    integral = {"byte", "short", "integer", "long"}
+    convs = [
+        (lambda v: None if pd.isna(v) else int(v))
+        if f.dataType.typeName() in integral
+        else (lambda v: None if pd.isna(v) else v)
+        for f in dim_payload_fields
+    ]
+
+    ttl_ms = _parse_duration_ms(state_ttl) if state_ttl else None
 
     def _update(
         key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            # idle past the TTL relative to the watermark: drop the
+            # dim state; the entity re-opens cold on its next row
+            state.remove()
+            return
         st = list(state.get) if state.exists else [None] * (1 + n_payload)
         outs: list[dict] = []
+        max_ets_ms = None
         for pdf in pdf_iter:
             # stable sort: dim (tag 0) before fact at equal ts —
             # batch inclusive tie semantics; among equal-ts dim rows
@@ -99,16 +128,21 @@ def apply_asof_state(
             pdf = pdf.sort_values(["__ets", "__tag"], kind="mergesort")
             # itertuples renames __-prefixed columns positionally
             for rd in pdf.to_dict("records"):
+                ets_ms = int(pd.Timestamp(rd["__ets"]).value // 1_000_000)
+                if max_ets_ms is None or ets_ms > max_ets_ms:
+                    max_ets_ms = ets_ms
                 if rd["__tag"] == 0:
                     st[0] = int(pd.Timestamp(rd["__ets"]).value // 1000)
                     for i, p in enumerate(payload):
-                        st[1 + i] = rd[f"__dim_{p}"]
+                        st[1 + i] = convs[i](rd[f"__dim_{p}"])
                 else:
                     o = {n: rd[n] for n in fact_names}
                     for i, p in enumerate(payload):
                         o[f"{p}{suffix}"] = st[1 + i]
                     outs.append(o)
         state.update(tuple(st))
+        if ttl_ms is not None and max_ets_ms is not None:
+            state.setTimeoutTimestamp(max_ets_ms + ttl_ms)
         if outs:
             yield pd.DataFrame(outs, columns=out_names)
 
@@ -117,8 +151,26 @@ def apply_asof_state(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
+
+
+_UNITS_MS = {
+    "ms": 1, "millisecond": 1, "milliseconds": 1,
+    "s": 1000, "second": 1000, "seconds": 1000,
+    "minute": 60_000, "minutes": 60_000, "min": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000, "h": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000, "d": 86_400_000,
+}
+
+
+def _parse_duration_ms(text: str) -> int:
+    n, unit = text.strip().split()
+    return int(float(n) * _UNITS_MS[unit.lower()])
 
 
 def streaming_asof_join(
@@ -129,11 +181,21 @@ def streaming_asof_join(
     dim_ts: str = "ts",
     payload: Sequence[str] = (),
     suffix: str = "_asof",
+    state_ttl: str | None = None,
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """Streaming twin of operators/asof.asof_join (inclusive mode):
     fact stream + dim stream → fact rows with ``<payload>_asof``
-    attached from the latest dim state at or before each fact ts."""
+    attached from the latest dim state at or before each fact ts.
+
+    ``state_ttl`` bounds the state store (see apply_asof_state): an
+    entity idle past the TTL in event time is evicted and re-opens
+    cold. Eviction fires as the ``__ets`` watermark (``watermark``
+    delay) passes the armed timeout."""
     unioned = tagged_union(fact, dim, on, fact_ts, dim_ts, payload)
+    if state_ttl is not None:
+        unioned = unioned.withWatermark("__ets", watermark)
     return apply_asof_state(
-        unioned, fact.schema, [dim.schema[p] for p in payload], on, payload, suffix
+        unioned, fact.schema, [dim.schema[p] for p in payload], on, payload, suffix,
+        state_ttl=state_ttl,
     )

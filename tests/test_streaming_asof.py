@@ -124,3 +124,71 @@ def test_streaming_asof_multi_batch_in_order_equals_batch(spark, tmp_path):
     want = _batch_expected(ev, orders)
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_streaming_asof_state_ttl_evicts_idle_entities(spark, tmp_path):
+    """EventTime TTL bounds the state store: entity X gets dim state
+    in batch 1, sits idle while the watermark advances past its
+    timeout (filler batches 2-3 from entity Y), is evicted, and its
+    batch-4 fact re-opens COLD (null asof) — whereas without a TTL the
+    same input still serves the old dim state. Timeout fires only for
+    groups with no data in the batch, hence the idle filler batches."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField as SF, StructType as ST, TimestampType,
+    )
+
+    import datetime as dt
+
+    fact_schema = ST([SF("event_id", LongType()), SF("ts", TimestampType()), SF("user_id", LongType())])
+    d0 = dt.datetime(2026, 1, 1)
+
+    def day(n, hours=0):
+        return d0 + dt.timedelta(days=n, hours=hours)
+
+    # pre-tagged union rows: fact cols + __tag + __ets + __dim_v
+    union_schema = ST(list(fact_schema.fields) + [
+        SF("__tag", IntegerType()), SF("__ets", TimestampType()), SF("__dim_v", LongType()),
+    ])
+    batches = [
+        # 1: dim X@d0 (v=1), fact X@d0+1h
+        [(None, None, 7, 0, day(0), 1), (100, day(0, 1), 7, 1, day(0, 1), None)],
+        # 2-3: filler from entity Y advancing the watermark
+        [(200, day(10), 8, 1, day(10), None)],
+        [(201, day(11), 8, 1, day(11), None)],
+        # 4: fact X@d12 — X was idle > ttl in event time
+        [(101, day(12), 7, 1, day(12), None)],
+    ]
+    src = str(tmp_path / "ttl_src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        f = str(tmp_path / f"b{i}")
+        spark.createDataFrame(rows, union_schema).coalesce(1).write.parquet(f)
+        [part] = [x for x in os.listdir(f) if x.startswith("part-")]
+        dst = os.path.join(src, f"{i}-{part}")
+        os.rename(os.path.join(f, part), dst)
+        os.utime(dst, (time.time() + i * 10, time.time() + i * 10))
+
+    from cookieblock_consent_classifier_spark.streaming.asof import apply_asof_state
+
+    def run(name, ttl):
+        stream = (
+            spark.readStream.schema(union_schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        if ttl:
+            stream = stream.withWatermark("__ets", "0 seconds")
+        out = apply_asof_state(
+            stream, fact_schema, [union_schema["__dim_v"]],
+            on="user_id", payload=["v"], suffix="_asof", state_ttl=ttl,
+        )
+        _run_stream(out, name)
+        return {r["event_id"]: r["v_asof"] for r in spark.table(name).collect()}
+
+    with_ttl = run("asof_ttl", "2 days")
+    no_ttl = run("asof_nottl", None)
+
+    assert with_ttl[100] == 1  # in-window fact sees the dim state
+    assert with_ttl[101] is None  # evicted: re-opened cold
+    assert no_ttl[101] == 1  # contrast: without TTL the state survives
