@@ -192,3 +192,121 @@ def test_streaming_asof_state_ttl_evicts_idle_entities(spark, tmp_path):
     assert with_ttl[100] == 1  # in-window fact sees the dim state
     assert with_ttl[101] is None  # evicted: re-opened cold
     assert no_ttl[101] == 1  # contrast: without TTL the state survives
+
+
+def test_transform_with_state_asof_equals_batch(spark, tmp_path):
+    """The transformWithStateInPandas (state-v2) twin produces the
+    same output as batch asof_join — pinning that the operator's
+    semantics are API-independent. Executes only where the state-v2
+    Python runtime exists (needs protobuf, absent in this container:
+    the processor LOGIC is pinned below instead, and the module raises
+    a clean actionable error — same gating pattern as Iceberg)."""
+    import pytest
+
+    from cookieblock_consent_classifier_spark.streaming.asof_tws import (
+        ROCKSDB_PROVIDER, apply_asof_tws, tws_runtime_available,
+    )
+
+    if not tws_runtime_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            apply_asof_tws(
+                tagged_union(*_inputs(spark), on="user_id", fact_ts="ts",
+                             dim_ts="o_orderdate", payload=["o_orderkey"]),
+                _inputs(spark)[0].schema, [_inputs(spark)[1].schema["o_orderkey"]],
+                on="user_id", payload=["o_orderkey"],
+            )
+        pytest.skip("state-v2 Python runtime unavailable (no protobuf); "
+                    "clean-error gate asserted instead")
+
+    ev, orders = _inputs(spark)
+    unioned = tagged_union(
+        ev, orders, on="user_id", fact_ts="ts", dim_ts="o_orderdate",
+        payload=["o_orderkey"],
+    )
+    src = str(tmp_path / "tws_src")
+    unioned.write.parquet(src)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream = spark.readStream.schema(unioned.schema).parquet(src)
+        out = apply_asof_tws(
+            stream, ev.schema, [orders.schema["o_orderkey"]],
+            on="user_id", payload=["o_orderkey"],
+        )
+        _run_stream(out, "asof_tws")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    got = {
+        r["event_id"]: r["o_orderkey_asof"]
+        for r in spark.table("asof_tws").collect()
+    }
+    want = _batch_expected(ev, orders)
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
+def test_tws_processor_logic_pinned_without_runtime():
+    """Drive AsofStateProcessor.handleInputRows directly with a fake
+    ValueState: dim-before-fact tie order, cross-batch state carriage,
+    and the integral-payload coercion — so the state-v2 twin's LOGIC
+    is pinned even where its runtime (protobuf) is absent."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField as SF, StructType as ST
+    from cookieblock_consent_classifier_spark.streaming.asof_tws import (
+        AsofStateProcessor,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+        def exists(self):
+            return self.v is not None
+        def get(self):
+            return self.v
+        def update(self, t):
+            self.v = t
+        def clear(self):
+            self.v = None
+
+    class FakeHandle:
+        def __init__(self, st):
+            self.st = st
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.st
+
+    state_schema = ST([SF("last_ts_us", LongType()), SF("p_0", LongType())])
+    proc = AsofStateProcessor(
+        ["event_id", "user_id"], ["v"], "_asof", state_schema,
+        [SF("v", LongType())],
+    )
+    st = FakeState()
+    proc.init(FakeHandle(st))
+
+    d0 = dt.datetime(2026, 1, 1)
+    # batch 1: dim v=1 at t0 and fact at the SAME ts (inclusive: sees 1);
+    # dim value arrives float64 (pandas nullable-int upcast)
+    b1 = pd.DataFrame({
+        "event_id": [np.nan, 10.0], "user_id": [7, 7], "__tag": [0, 1],
+        "__ets": [d0, d0], "__dim_v": [1.0, np.nan],
+    })
+    [out1] = list(proc.handleInputRows((7,), iter([b1]), None))
+    assert out1["v_asof"].tolist() == [1]
+    assert st.v[1] == 1 and isinstance(st.v[1], int)  # coerced, not 1.0
+
+    # batch 2: fact only — served from carried state
+    b2 = pd.DataFrame({
+        "event_id": [11.0], "user_id": [7], "__tag": [1],
+        "__ets": [d0 + dt.timedelta(days=1)], "__dim_v": [np.nan],
+    })
+    [out2] = list(proc.handleInputRows((7,), iter([b2]), None))
+    assert out2["v_asof"].tolist() == [1]
