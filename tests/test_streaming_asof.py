@@ -310,3 +310,60 @@ def test_tws_processor_logic_pinned_without_runtime():
     })
     [out2] = list(proc.handleInputRows((7,), iter([b2]), None))
     assert out2["v_asof"].tolist() == [1]
+
+
+def test_streaming_asof_resumes_from_checkpoint(spark, tmp_path):
+    """North-rule resumability: the as-of state store survives a query
+    RESTART via the streaming checkpoint — batch-1 dim state serves a
+    batch-2 fact processed by a brand-new query instance, each fact is
+    emitted exactly once, and values equal the batch join."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField as SF, StructType as ST, TimestampType,
+    )
+
+    fact_schema = ST([SF("event_id", LongType()), SF("ts", TimestampType()), SF("user_id", LongType())])
+    union_schema = ST(list(fact_schema.fields) + [
+        SF("__tag", IntegerType()), SF("__ets", TimestampType()), SF("__dim_v", LongType()),
+    ])
+    d0 = dt.datetime(2026, 3, 1)
+    b1 = [(None, None, 7, 0, d0, 41), (100, d0 + dt.timedelta(hours=1), 7, 1, d0 + dt.timedelta(hours=1), None)]
+    b2 = [(101, d0 + dt.timedelta(days=1), 7, 1, d0 + dt.timedelta(days=1), None)]
+
+    src = str(tmp_path / "resume_src")
+    ckpt = str(tmp_path / "resume_ckpt")
+    sink = str(tmp_path / "resume_sink")
+    os.makedirs(src)
+
+    def add_file(i, rows):
+        f = str(tmp_path / f"rb{i}")
+        spark.createDataFrame(rows, union_schema).coalesce(1).write.parquet(f)
+        [part] = [x for x in os.listdir(f) if x.startswith("part-")]
+        os.rename(os.path.join(f, part), os.path.join(src, f"{i}-{part}"))
+
+    def run_once():
+        stream = spark.readStream.schema(union_schema).parquet(src)
+        out = apply_asof_state(
+            stream, fact_schema, [union_schema["__dim_v"]],
+            on="user_id", payload=["v"], suffix="_asof",
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+
+    add_file(0, b1)
+    run_once()  # query #1: processes batch 1, checkpoints state
+    add_file(1, b2)
+    run_once()  # query #2: NEW instance resumes from the checkpoint
+
+    got = {
+        r["event_id"]: r["v_asof"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    # exactly-once: two facts, one row each; fact 101 served from the
+    # RESTORED batch-1 dim state
+    assert got == {100: 41, 101: 41}
