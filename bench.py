@@ -81,7 +81,7 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _warm(spark, cpus: int) -> None:
+def _warm(spark, cpus: int, sf_dir: str) -> None:
     """JIT/codegen warm-up plus the Python worker pool for BOTH
     pandas-UDF eval types: the first pandas-UDF stage spawns one
     worker per core (~10s one-time on 32 cores) and worker reuse is
@@ -91,7 +91,7 @@ def _warm(spark, cpus: int) -> None:
     from pyspark.sql.functions import PandasUDFType  # noqa: PLC0415
 
     qs = entrymod.queries()
-    _noop(qs["tpch_q1"](spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")))
+    _noop(qs["tpch_q1"](spark, sf_dir))
 
     # (explicit Iterator form: `from __future__ import annotations`
     # stringifies hints, which pandas_udf's type inference rejects)
@@ -198,7 +198,7 @@ def main() -> None:
     spark = get_spark(
         app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
     )
-    _warm(spark, int(cpus))
+    _warm(spark, int(cpus), sf_dir)
 
     t_all = time.perf_counter()
     timings, construct, loadavg = _bench_suite(spark, sf_dir)

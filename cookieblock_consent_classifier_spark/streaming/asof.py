@@ -72,9 +72,15 @@ def apply_asof_state(
     payload: Sequence[str],
     suffix: str = "_asof",
     state_ttl: str | None = None,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """The state stage over a tagged_union stream: groupBy(entity) →
     applyInPandasWithState holding (last_dim_ts_us, *payload).
+
+    ``tolerance_seconds`` (the batch operator's merge_asof-style
+    staleness cut, operators/asof.py): a fact whose latest dim state
+    is older than the tolerance emits nulls instead — row-local check
+    against the stored last_dim_ts_us.
 
     ``state_ttl`` (e.g. "30 days"): bound the state store under
     unbounded entity cardinality — the 10^12-entity concern. Requires
@@ -108,6 +114,7 @@ def apply_asof_state(
     ]
 
     ttl_ms = _parse_duration_ms(state_ttl) if state_ttl else None
+    tol_us = int(tolerance_seconds * 1e6) if tolerance_seconds is not None else None
 
     def _update(
         key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -134,11 +141,21 @@ def apply_asof_state(
                 if rd["__tag"] == 0:
                     st[0] = int(pd.Timestamp(rd["__ets"]).value // 1000)
                     for i, p in enumerate(payload):
-                        st[1 + i] = convs[i](rd[f"__dim_{p}"])
+                        # batch parity: asof_join forward-fills each
+                        # payload column with last(ignorenulls=True),
+                        # so a NULL dim value must NOT clobber state
+                        v = convs[i](rd[f"__dim_{p}"])
+                        if v is not None:
+                            st[1 + i] = v
                 else:
+                    fact_us = int(pd.Timestamp(rd["__ets"]).value // 1000)
+                    stale = (
+                        tol_us is not None
+                        and (st[0] is None or fact_us - st[0] > tol_us)
+                    )
                     o = {n: rd[n] for n in fact_names}
                     for i, p in enumerate(payload):
-                        o[f"{p}{suffix}"] = st[1 + i]
+                        o[f"{p}{suffix}"] = None if stale else st[1 + i]
                     outs.append(o)
         state.update(tuple(st))
         if ttl_ms is not None and max_ets_ms is not None:
@@ -183,19 +200,28 @@ def streaming_asof_join(
     suffix: str = "_asof",
     state_ttl: str | None = None,
     watermark: str = "0 seconds",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Streaming twin of operators/asof.asof_join (inclusive mode):
     fact stream + dim stream → fact rows with ``<payload>_asof``
     attached from the latest dim state at or before each fact ts.
+    ``tolerance_seconds``: the batch operator's staleness cut (state
+    older than the tolerance serves nulls).
 
     ``state_ttl`` bounds the state store (see apply_asof_state): an
     entity idle past the TTL in event time is evicted and re-opens
     cold. Eviction fires as the ``__ets`` watermark (``watermark``
-    delay) passes the armed timeout."""
+    delay) passes the armed timeout. CAVEAT — enabling the TTL also
+    adopts full watermark semantics: the engine DROPS any row (fact or
+    dim) arriving later than the watermark before it reaches the state
+    operator, so a TTL'd stream loses out-of-order rows beyond the
+    ``watermark`` delay entirely (they are not merely served stale).
+    Size ``watermark`` to the expected disorder; the no-TTL mode has
+    no watermark and never drops rows."""
     unioned = tagged_union(fact, dim, on, fact_ts, dim_ts, payload)
     if state_ttl is not None:
         unioned = unioned.withWatermark("__ets", watermark)
     return apply_asof_state(
         unioned, fact.schema, [dim.schema[p] for p in payload], on, payload, suffix,
-        state_ttl=state_ttl,
+        state_ttl=state_ttl, tolerance_seconds=tolerance_seconds,
     )

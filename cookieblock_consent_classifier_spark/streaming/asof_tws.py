@@ -97,6 +97,7 @@ class AsofStateProcessor(StatefulProcessor):
         state_schema: StructType,
         dim_payload_fields: list,
         ttl_ms: int | None = None,
+        tolerance_seconds: float | None = None,
     ) -> None:
         self.fact_names = fact_names
         self.payload = list(payload)
@@ -104,6 +105,9 @@ class AsofStateProcessor(StatefulProcessor):
         self.state_schema = state_schema
         self.dim_payload_fields = dim_payload_fields
         self.ttl_ms = ttl_ms
+        self.tol_us = (
+            int(tolerance_seconds * 1e6) if tolerance_seconds is not None else None
+        )
         self.out_names = fact_names + [f"{p}{suffix}" for p in payload]
 
     def init(self, handle: StatefulProcessorHandle) -> None:
@@ -124,11 +128,20 @@ class AsofStateProcessor(StatefulProcessor):
                 if rd["__tag"] == 0:
                     st[0] = int(pd.Timestamp(rd["__ets"]).value // 1000)
                     for i, p in enumerate(self.payload):
-                        st[1 + i] = self.convs[i](rd[f"__dim_{p}"])
+                        # batch parity: last(ignorenulls=True) — a
+                        # NULL dim value must NOT clobber state
+                        v = self.convs[i](rd[f"__dim_{p}"])
+                        if v is not None:
+                            st[1 + i] = v
                 else:
+                    fact_us = int(pd.Timestamp(rd["__ets"]).value // 1000)
+                    stale = (
+                        self.tol_us is not None
+                        and (st[0] is None or fact_us - st[0] > self.tol_us)
+                    )
                     o = {c: rd[c] for c in self.fact_names}
                     for i, p in enumerate(self.payload):
-                        o[f"{p}{self.suffix}"] = st[1 + i]
+                        o[f"{p}{self.suffix}"] = None if stale else st[1 + i]
                     outs.append(o)
         self.dim.update(tuple(st))
         if outs:
@@ -146,6 +159,7 @@ def apply_asof_tws(
     payload: Sequence[str],
     suffix: str = "_asof",
     ttl_ms: int | None = None,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """transformWithStateInPandas stage over a tagged_union stream
     (streaming/asof.tagged_union builds the input shape)."""
@@ -160,8 +174,13 @@ def apply_asof_tws(
         + [StructField(f"p_{i}", f.dataType) for i, f in enumerate(dim_payload_fields)]
     )
     proc = AsofStateProcessor(
-        fact_names, payload, suffix, state_schema, dim_payload_fields, ttl_ms
+        fact_names, payload, suffix, state_schema, dim_payload_fields, ttl_ms,
+        tolerance_seconds,
     )
+    # state TTL requires TimeMode.ProcessingTime — Spark rejects a
+    # ttlDurationMs state in timeMode "none"
+    # (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL)
+    time_mode = "processingTime" if ttl_ms is not None else "none"
     return unioned.groupBy(on).transformWithStateInPandas(
-        proc, outputStructType=out_schema, outputMode="append", timeMode="none"
+        proc, outputStructType=out_schema, outputMode="append", timeMode=time_mode
     )

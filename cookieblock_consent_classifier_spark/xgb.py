@@ -33,8 +33,8 @@ both paths are pinned equal in tests/test_xgb.py.
 
 from __future__ import annotations
 
+import hashlib
 import json
-import math
 from collections.abc import Callable
 
 import numpy as np
@@ -43,6 +43,10 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 FeatCol = Callable[[int], Column]
 FeatSql = Callable[[int], str]
+
+# per-process parsed-forest cache for the kernel path (see
+# probs_kernel_udf) — lives in each Python worker
+_FOREST_CACHE: dict[str, list] = {}
 
 # -- dump parsing / validation ----------------------------------------
 
@@ -198,7 +202,15 @@ def _score_batch(
     num_classes = len(class_forests)
     out = np.zeros((n, num_classes), dtype=np.float64)
     for r in range(n):
-        fmap = dict(zip((int(i) for i in idx_arrays[r]), val_arrays[r]))
+        # skip NULL/NaN elements: a null value is a MISSING feature in
+        # both formats (expression path: try_element_at NULL →
+        # coalesce 0.0 / isNull default branch); keeping them would
+        # crash the < comparison on None
+        fmap = {
+            int(i): v
+            for i, v in zip(idx_arrays[r], val_arrays[r])
+            if v is not None and v == v
+        }
         for c, forest in enumerate(class_forests):
             s = 0.0
             for tree in forest:
@@ -230,11 +242,18 @@ def probs_kernel_udf(class_forests: list[list[dict]], fmt: str = "full"):
     softmax runs inside the kernel — Catalyst rejects HOF lambdas
     over a Python-UDF result column — with the same plain-exp formula
     as the reference (xgbpredictor_dump.py:150-152)."""
-    # serialize once on the driver; workers rehydrate per process
+    # serialize once on the driver; each worker PROCESS parses the
+    # blob once (module-level cache keyed by a digest — real dumps are
+    # MB-scale and the SCALAR UDF is invoked per ~10k-row Arrow batch,
+    # so a per-call json.loads would dominate the kernel at scale)
     blob = json.dumps(class_forests)
+    blob_key = hashlib.md5(blob.encode()).hexdigest()
 
     def _fn(indices: pd.Series, values: pd.Series) -> pd.Series:
-        forests = json.loads(blob)
+        forests = _FOREST_CACHE.get(blob_key)
+        if forests is None:
+            forests = json.loads(blob)
+            _FOREST_CACHE[blob_key] = forests
         m = _score_batch(indices.tolist(), values.tolist(), forests, fmt)
         e = np.exp(m)
         p = e / e.sum(axis=1, keepdims=True)

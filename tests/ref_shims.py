@@ -220,10 +220,17 @@ def load_reference_dump_predictors():
         skd.load_svmlight_file = _unavailable
 
     cls_dir = REFERENCE_ROOT + "/classifiers"
-    if cls_dir not in sys.path:
-        sys.path.insert(0, cls_dir)
-    import xgbpredictor_dump as fd  # noqa: PLC0415
-    import xgbpredictor_sparsedump as sd  # noqa: PLC0415
+    sys.path.insert(0, cls_dir)
+    try:
+        import xgbpredictor_dump as fd  # noqa: PLC0415
+        import xgbpredictor_sparsedump as sd  # noqa: PLC0415
+    finally:
+        # don't leave the reference dir on sys.path: its generic
+        # module names (utils.py, ...) would shadow any later
+        # top-level import in this process. NB the imported modules
+        # (and their `utils`) stay cached in sys.modules — fine, the
+        # repo has no bare `utils` module of its own.
+        sys.path.remove(cls_dir)
 
     return fd, sd
 

@@ -367,3 +367,76 @@ def test_streaming_asof_resumes_from_checkpoint(spark, tmp_path):
     # exactly-once: two facts, one row each; fact 101 served from the
     # RESTORED batch-1 dim state
     assert got == {100: 41, 101: 41}
+
+
+def test_streaming_asof_null_dim_payload_does_not_clobber(spark, tmp_path):
+    """Batch asof_join forward-fills each payload column with
+    last(ignorenulls=True): a dim row whose payload is NULL must not
+    clobber the stored state in the streaming twin either."""
+    import datetime as dt
+
+    d0 = dt.datetime(2026, 2, 1)
+    fact = spark.createDataFrame(
+        [(1, d0 + dt.timedelta(hours=5), 7)], "event_id long, ts timestamp, user_id long"
+    )
+    dim = spark.createDataFrame(
+        [(7, d0, 5), (7, d0 + dt.timedelta(hours=1), None)],
+        "user_id long, ts timestamp, v long",
+    )
+    want = {
+        r["event_id"]: r["v_asof"]
+        for r in asof_join(fact, dim, on="user_id", payload=["v"]).collect()
+    }
+    assert want == {1: 5}  # the batch truth itself
+
+    fsrc, dsrc = str(tmp_path / "nf"), str(tmp_path / "nd")
+    fact.write.parquet(fsrc)
+    dim.write.parquet(dsrc)
+    out = streaming_asof_join(
+        spark.readStream.schema(fact.schema).parquet(fsrc),
+        spark.readStream.schema(dim.schema).parquet(dsrc),
+        on="user_id", fact_ts="ts", dim_ts="ts", payload=["v"],
+    )
+    _run_stream(out, "asof_nullclobber")
+    got = {r["event_id"]: r["v_asof"] for r in spark.table("asof_nullclobber").collect()}
+    assert got == want
+
+
+def test_streaming_asof_tolerance_matches_batch(spark, tmp_path):
+    """The streaming staleness cut (tolerance_seconds) equals the
+    batch operator's merge_asof-style tolerance on the same input —
+    including facts whose state is too old (nulls) and facts with no
+    prior dim at all."""
+    ev, _ = _inputs(spark)
+    # dims drawn from the events stream itself (every 5th event) so
+    # dim and fact timestamps interleave; 2h tolerance → mixed outcome
+    dim = (
+        ev.filter(F.col("event_id") % 5 == 0)
+        .select("user_id", "ts", F.col("event_id").alias("v"))
+    )
+    tol = 2 * 3600.0
+    want = {
+        r["event_id"]: r["v_asof"]
+        for r in asof_join(
+            ev, dim, on="user_id", fact_ts="ts", dim_ts="ts",
+            payload=["v"], dim_order=["v"], tolerance_seconds=tol,
+        ).collect()
+    }
+    assert any(v is None for v in want.values())  # the cut actually fires
+    assert any(v is not None for v in want.values())
+
+    fsrc, dsrc = str(tmp_path / "tf"), str(tmp_path / "td")
+    ev.write.parquet(fsrc)
+    dim.write.parquet(dsrc)
+    out = streaming_asof_join(
+        spark.readStream.schema(ev.schema).parquet(fsrc),
+        spark.readStream.schema(dim.schema).parquet(dsrc),
+        on="user_id", fact_ts="ts", dim_ts="ts",
+        payload=["v"], tolerance_seconds=tol,
+    )
+    _run_stream(out, "asof_tol_stream")
+    got = {
+        r["event_id"]: r["v_asof"]
+        for r in spark.table("asof_tol_stream").collect()
+    }
+    assert got == want

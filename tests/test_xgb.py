@@ -246,3 +246,24 @@ def test_margin_sql_matches_spark_exactly(spark, sparse_df, rows):
         assert g["entity_id"] == w[0]
         for c in range(4):
             assert g[f"m{c}"] == w[c + 1], (g, w)
+
+
+def test_null_values_are_missing_on_both_paths(spark):
+    """A NULL element inside the values array is a MISSING feature:
+    full format → 0.0→yes path, sparse format → default branch. The
+    kernel must agree with the expression path (it used to crash on
+    None < float)."""
+    rows = [
+        (0, [0, 1], [None, 0.9]),
+        (1, [0], [None]),
+        (2, [0, 2], [0.3, None]),
+    ]
+    df = spark.createDataFrame(
+        rows, "entity_id long, indices array<int>, values array<double>"
+    )
+    for fmt, dump in (("full", xgb.fixture_dump()), ("sparse", sparse_fixture())):
+        expr_probs, _ = _engine_scored(df, xgb.dump_score_fn(dump, fmt=fmt))
+        kern_probs, _ = _engine_scored(
+            df, xgb.dump_score_fn(dump, fmt=fmt, max_expr_nodes=0)
+        )
+        np.testing.assert_allclose(kern_probs, expr_probs, rtol=1e-12, atol=1e-15)
