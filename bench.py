@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "gestalt_diff",
     "simhash",
     "grid_search_cv",
+    "bayes_decision",
     "rolling_time_sum",
     "dedup_clusters_cc",
     "audio_pipeline",
