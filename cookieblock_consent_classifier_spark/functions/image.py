@@ -9,12 +9,17 @@ Codecs:
   grayscale-8 PNGs decode too. Pure stdlib (zlib/struct) + numpy —
   no image library needed. Lossless: decoded pixels are bit-exact
   (PSNR = inf ≥ the 40 dB input_hint invariant).
-- fmt='jpeg' → deterministic synthetic lossy stand-in (step-4
-  quantization in a self-describing container): the container has no
-  JPEG library, so real DCT decode is out of reach — the quantizer
-  preserves the *lossy-but-high-PSNR* contract (≈47 dB) that the
-  pipeline verifies. Swaps for a real codec behind the same two
-  functions (`encode_image`, `decode_image`); nothing else changes.
+- fmt='jpeg' → REAL baseline JFIF (functions/jpeg.py, pure numpy +
+  stdlib): 8x8 DCT, quality-scaled Annex K quantization, standard
+  huffman entropy coding, full marker stream. The decoder reads quant
+  and huffman tables from the stream (DQT/DHT), so any standard
+  baseline grayscale JPEG decodes; default quality 90 keeps the
+  decoded pixels ≥ 40 dB PSNR on the synthetic corpus (the input_hint
+  lossy invariant, pinned in tests/test_jpeg.py). No external decoder
+  exists in this container to cross-check against — the structural
+  markers are asserted in tests and the table-from-stream design
+  keeps the decoder general. Legacy round-1..3 stand-in payloads
+  (SGIM container) still decode.
 
 Everything Spark-side — binary column handling, Arrow batch shapes,
 pandas-UDF signatures, per-entity phash-delta windows, PSNR
@@ -165,21 +170,24 @@ def hash_str(s: str) -> int:
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png_gray(pixels)  # REAL PNG (module docstring)
-    h, w = pixels.shape
     if fmt == "jpeg":
-        # synthetic lossy stand-in — step-4 quantization: MSE ≈ 4²/12
-        # → PSNR ≈ 47 dB (≥ 40 dB lossy invariant per input_hint)
-        body = ((pixels.astype(np.uint16) + 2) // 4 * 4).clip(0, 255).astype(np.uint8)
-    else:
-        raise NotImplementedError(f"codec for fmt={fmt!r} not available in this container")
-    return _MAGIC + struct.pack("<II", w, h) + body.tobytes()
+        from cookieblock_consent_classifier_spark.functions import jpeg  # noqa: PLC0415
+
+        return jpeg.encode_jpeg_gray(pixels)  # REAL baseline JFIF
+    raise NotImplementedError(f"codec for fmt={fmt!r} not available in this container")
 
 
 def decode_image(payload: bytes) -> np.ndarray:
     if payload[:8] == _PNG_SIG:
         return decode_png_gray(payload)
+    if payload[:2] == b"\xff\xd8":
+        from cookieblock_consent_classifier_spark.functions import jpeg  # noqa: PLC0415
+
+        return jpeg.decode_jpeg_gray(payload)
     if payload[:4] != _MAGIC:
-        raise ValueError("neither PNG nor synthetic-codec payload")
+        raise ValueError("not a PNG / JFIF / legacy-container payload")
+    # legacy round-1..3 stand-in container (kept so old persisted
+    # payloads still decode)
     w, h = struct.unpack("<II", payload[4:12])
     return np.frombuffer(payload[12:], dtype=np.uint8).reshape(h, w)
 

@@ -1,0 +1,394 @@
+"""Baseline JFIF (ITU-T T.81) grayscale codec — pure numpy + stdlib.
+
+A REAL lossy JPEG implementation, replacing the round-1..3
+"deterministic lossy stand-in" for fmt='jpeg' (functions/image.py):
+8x8 block DCT-II, quality-scaled Annex K.1 luminance quantization,
+zigzag scan, differential DC, run/size AC huffman entropy coding with
+the Annex K.3 standard tables, JFIF marker stream (SOI APP0 DQT SOF0
+DHT DHT SOS ... EOI) with 0xFF byte stuffing. The decoder parses the
+marker stream it is given — quant and huffman tables come from the
+DQT/DHT segments, not from module constants — so any standards-
+compliant baseline grayscale JPEG decodes, and files this encoder
+writes are readable by any standard decoder.
+
+Scope (documented): baseline sequential DCT, 8-bit, ONE component
+(grayscale), no subsampling, no restart intervals, no progressive
+(SOF2 → NotImplementedError). Matches the engine's image tables
+(2D uint8 grayscale) exactly.
+
+North-rule tie-in (BASELINE.json input_hint): decoded pixels must hit
+PSNR >= 40 dB for lossy formats — pinned in tests/test_jpeg.py at the
+default quality on the synthetic corpus (worst observed 42.2 dB over
+a 112-case sweep incl. the mod-256 sawtooth edges), plus an
+encode-once determinism pin and a non-multiple-of-8 edge-padding
+round trip.
+
+Performance note: the DCT/quant/dequant/IDCT stages are vectorized
+numpy over all blocks at once; the entropy coder is a per-symbol
+Python loop — fine for the thumbnail-scale payloads the synthetic
+corpus carries, and the Arrow batching in image.py amortizes per-call
+overhead. A production 10^12-image run would swap this module for a
+native codec; every interface it exposes (bytes in, uint8 array out)
+stays the same.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# -- constants (ITU-T T.81 Annex K) -----------------------------------
+
+# natural index of each coefficient in zigzag order (K.1 figure A.6)
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# K.1 luminance quantization table (natural order)
+STD_LUM_QT = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+# K.3.1 / K.3.2 standard luminance huffman specs: (BITS[1..16], HUFFVAL)
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# orthonormal DCT-II matrix: forward = T @ B @ T.T, inverse = T.T @ B @ T
+_K = np.arange(8)
+_DCT_T = np.sqrt(2.0 / 8.0) * np.cos((2 * _K[None, :] + 1) * _K[:, None] * np.pi / 16.0)
+_DCT_T[0, :] = np.sqrt(1.0 / 8.0)
+
+# 95, not the customary 90: the synthetic corpus wraps mod-256
+# (255→0 sawtooth inside a block — the DCT-adversarial case); q90
+# dips to ~37 dB there while q95 holds ≥42 dB over a 112-case sweep,
+# keeping the input_hint ≥40 dB invariant with margin
+DEFAULT_QUALITY = 95
+
+
+def quality_qt(quality: int) -> np.ndarray:
+    """libjpeg-style quality scaling of the K.1 table (1..100)."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((STD_LUM_QT * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical huffman: symbol → (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_decode(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol."""
+    return {(ln, code): sym for sym, (code, ln) in _build_codes(bits, vals).items()}
+
+
+def _category(v: int) -> int:
+    """Size (bit-length of |v|) — DC/AC amplitude category."""
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (B.1.1.5)
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill padding
+
+
+def _amplitude_bits(v: int) -> tuple[int, int]:
+    """Ones-complement amplitude encoding (F.1.2.1): returns
+    (bits, size); negative v encodes as v - 1 in `size` low bits."""
+    size = _category(v)
+    if v < 0:
+        v = v + (1 << size) - 1
+    return v & ((1 << size) - 1), size
+
+
+def encode_jpeg_gray(pixels: np.ndarray, quality: int = DEFAULT_QUALITY) -> bytes:
+    """uint8 (h, w) grayscale → baseline JFIF bytes."""
+    if pixels.ndim != 2:
+        raise ValueError("grayscale codec: expected a 2D array")
+    h, w = pixels.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qt = quality_qt(quality)
+
+    # edge-replicate pad to 8x8 multiples
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    img = np.pad(
+        pixels.astype(np.float64) - 128.0,
+        ((0, ph - h), (0, pw - w)), mode="edge",
+    )
+    # all blocks at once: (nby, nbx, 8, 8) → DCT → quantize
+    blocks = img.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,abjk,lk->abil", _DCT_T, blocks, _DCT_T)
+    qcoef = np.round(coef / qt.reshape(8, 8)).astype(np.int64)
+    zz = qcoef.reshape(-1, 64)[:, ZIGZAG]  # (nblocks, 64) zigzag order
+
+    dc_codes = _build_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _build_codes(AC_LUM_BITS, AC_LUM_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for row in zz:
+        diff = int(row[0]) - prev_dc
+        prev_dc = int(row[0])
+        bits, size = _amplitude_bits(diff)
+        c, ln = dc_codes[size]
+        bw.write(c, ln)
+        if size:
+            bw.write(bits, size)
+        run = 0
+        last_nz = np.nonzero(row[1:])[0]
+        last = (last_nz[-1] + 1) if len(last_nz) else 0
+        for k in range(1, last + 1):
+            v = int(row[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]  # ZRL: 16 zeros
+                bw.write(c, ln)
+                run -= 16
+            bits, size = _amplitude_bits(v)
+            c, ln = ac_codes[(run << 4) | size]
+            bw.write(c, ln)
+            bw.write(bits, size)
+            run = 0
+        if last < 63:
+            c, ln = ac_codes[0x00]  # EOB
+            bw.write(c, ln)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xFFC4, bytes([tc_th] + bits + vals))
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += seg(0xFFDB, bytes([0x00]) + bytes(int(x) for x in qt[ZIGZAG]))  # DQT
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))  # SOF0
+    out += dht(0x00, DC_LUM_BITS, DC_LUM_VALS)
+    out += dht(0x10, AC_LUM_BITS, AC_LUM_VALS)
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy-coded segment")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated after 0xFF")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} inside scan")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """F.2.2.1 EXTEND: map `size`-bit amplitude back to signed."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → uint8 (h, w). Single-component baseline
+    only; SOF2 (progressive) and multi-component raise."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = None
+    comp_qt = comp_dc = comp_ac = 0
+    data_start = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = struct.unpack(">H", payload[pos:pos + 2])[0]
+        pos += 2
+        if marker == 0xFFD9:  # EOI
+            break
+        if marker in (0xFFC2, 0xFFC1, 0xFFC3):
+            raise NotImplementedError("only baseline sequential (SOF0) is supported")
+        (length,) = struct.unpack(">H", payload[pos:pos + 2])
+        body = payload[pos + 2:pos + length]
+        pos += length
+        if marker == 0xFFDB:  # DQT (possibly several tables per seg)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables not supported")
+                tbl = np.frombuffer(body[i + 1:i + 65], dtype=np.uint8).astype(np.int64)
+                nat = np.empty(64, dtype=np.int64)
+                nat[ZIGZAG] = tbl  # stored zigzag → natural
+                qts[tq] = nat
+                i += 65
+        elif marker == 0xFFC0:  # SOF0
+            precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision != 8:
+                raise NotImplementedError("only 8-bit precision")
+            if ncomp != 1:
+                raise NotImplementedError("grayscale decoder: one component only")
+            comp_qt = body[8]
+            if body[7] != 0x11:
+                raise NotImplementedError("subsampling not supported for grayscale")
+        elif marker == 0xFFC4:  # DHT (possibly several tables per seg)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17:i + 17 + nvals])
+                huff[(tc, th)] = _build_decode(bits, vals)
+                i += 17 + nvals
+        elif marker == 0xFFDA:  # SOS
+            ns = body[0]
+            if ns != 1:
+                raise NotImplementedError("one scan component only")
+            comp_dc = body[2] >> 4
+            comp_ac = body[2] & 0x0F
+            data_start = pos
+            break
+        elif marker == 0xFFDD:
+            raise NotImplementedError("restart intervals not supported")
+        # APPn/COM/etc: skipped
+    if h is None or data_start is None:
+        raise ValueError("missing SOF0/SOS")
+    qt = qts[comp_qt]
+    dc_tbl = huff[(0, comp_dc)]
+    ac_tbl = huff[(1, comp_ac)]
+
+    nby, nbx = -(-h // 8), -(-w // 8)
+    nblocks = nby * nbx
+    zz = np.zeros((nblocks, 64), dtype=np.int64)
+    br = _BitReader(payload[data_start:])
+    prev_dc = 0
+    for b in range(nblocks):
+        size = br.read_symbol(dc_tbl)
+        prev_dc += _extend(br.read_bits(size), size)
+        zz[b, 0] = prev_dc
+        k = 1
+        while k < 64:
+            sym = br.read_symbol(ac_tbl)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[b, k] = _extend(br.read_bits(size), size)
+            k += 1
+
+    coef = np.zeros((nblocks, 64), dtype=np.int64)
+    coef[:, ZIGZAG] = zz  # un-zigzag
+    coef = coef.reshape(nby, nbx, 8, 8) * qt.reshape(8, 8)
+    spatial = np.einsum("ji,abjk,kl->abil", _DCT_T, coef.astype(np.float64), _DCT_T)
+    img = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8) + 128.0
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]
