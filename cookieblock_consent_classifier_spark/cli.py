@@ -33,12 +33,17 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--format", default="parquet", choices=["parquet", "libsvm"])
     ap.add_argument(
-        "--mode", default="extract", choices=["extract", "predict"],
+        "--mode", default="extract", choices=["extract", "predict", "train"],
         help="extract = training extraction (prepare_training_data.py "
         "analogue); predict = inference dataflow (predict_class.py "
         "analogue: no label filter, score, Bayesian decision, "
-        "predictions JSON + consent histogram)",
+        "predictions JSON + consent histogram); train = extract + "
+        "Spark-native GBDT (operators/gbdt.py, no GBDT library) -> "
+        "reference-format model_dump.json servable by --mode predict "
+        "--model-dump",
     )
+    ap.add_argument("--train-rounds", type=int, default=3)
+    ap.add_argument("--train-depth", type=int, default=3)
     ap.add_argument(
         "--cmp-prefix", default="OptanonConsent",
         help="predict mode: cookie-name prefix for the consent histogram "
@@ -109,7 +114,9 @@ def main(argv: list[str] | None = None) -> None:
     src = pipe.stage("scan", load)
 
     names_holder: list[list[str]] = []
-    training = args.mode == "extract"
+    # train needs the labeled/filtered extraction path too; only
+    # predict runs the no-filter inference extraction
+    training = args.mode in ("extract", "train")
 
     def extract(df):
         wide, names = compile_features(
@@ -120,6 +127,39 @@ def main(argv: list[str] | None = None) -> None:
 
     feat = pipe.stage("extract", extract, upstream=src.df, upstream_fingerprint="scan")
     names = names_holder[0] if names_holder else schema.feature_names()
+
+    if args.mode == "train":
+        # train -> dump -> (servable by --mode predict --model-dump):
+        # the engine's own GBDT over the extracted sparse rows, dumped
+        # in the reference full-dump format (xgbpredictor_dump.py)
+        from cookieblock_consent_classifier_spark import predict as P, xgb
+        from cookieblock_consent_classifier_spark.operators import gbdt
+
+        dump = gbdt.train_gbdt(
+            feat.df,
+            gbdt.GBDTParams(
+                num_rounds=args.train_rounds, max_depth=args.train_depth
+            ),
+        )
+        xgb.validate_full_dump(dump, 4)
+        os.makedirs(args.output, exist_ok=True)
+        dump_path = os.path.join(args.output, "model_dump.json")
+        with open(dump_path, "w", encoding="utf-8") as fd:
+            json.dump(dump, fd)
+        scored = P.predict(
+            feat.df, score_fn=xgb.dump_score_fn(dump), loss=P.EQUAL_LOSS
+        )
+        acc = scored.select(
+            F.avg((F.col("predicted_label") == F.col("label")).cast("double")).alias("a")
+        ).first()["a"]
+        print(json.dumps({
+            "stages": pipe.metrics(),
+            "width": len(names),
+            "model_dump": dump_path,
+            "trees": len(dump),
+            "train_accuracy": round(acc, 4),
+        }))
+        return
 
     if args.mode == "predict":
         # inference dataflow (predict_class.py:107-161): score ->

@@ -1,0 +1,322 @@
+"""Distributed gradient-boosted decision trees — no GBDT library.
+
+The reference trains with the xgboost/lightgbm/catboost packages
+(train_xgb.py:334-432 etc.); none is installed here, and the LibSVM
+sink keeps that contract. This module closes the loop the other way:
+a Spark-native histogram-based multiclass GBDT trainer over the
+engine's sparse feature rows, emitting trees in the reference's FULL
+JSON DUMP FORMAT (xgbpredictor_dump.py:30-95 — nodeid/split/
+split_condition/yes/no/missing/children/leaf, missing==yes==left,
+round-robin tree→class), so the engine's own native scorer (xgb.py)
+serves what it trains. Train → dump → score is one engine.
+
+Algorithm (LightGBM-style histogram splits, softmax objective):
+per boosting round, per class c: gradient g_i = p_c(i) - 1[y_i = c],
+hessian h_i = p_c(i)(1 - p_c(i)); one depth-wise tree per class.
+Per level, ONE distributed aggregation builds the (node, feature,
+bin) gradient histograms — explode the sparse row's nnz entries,
+groupBy, sum — and the driver picks argmax-gain splits from the
+bounded histogram (nodes x features x bins rows, NOT data rows).
+Split gain = GL²/(HL+λ) + GR²/(HR+λ) − G²/(H+λ); leaf weight
+= −lr·G/(H+λ).
+
+Missing semantics match the dump scorer BY CONSTRUCTION: a feature
+absent from the sparse row (or stored 0.0) always takes the left
+(yes) branch at scoring (v==0.0 or v<c → left), so the trainer
+accumulates the missing mass (node total minus present-value
+histogram) on the left side of every candidate split.
+
+Scale design: per level the only data-sized operation is one
+explode+groupBy shuffle of nnz entries; node assignment and margin
+updates are row-local expression chains (no joins); per-round margins
+are localCheckpoint'ed to cut the iterative lineage (the
+connected-components pattern). Driver memory holds histograms only:
+O(nodes · features · bins). Rounds x classes x depth jobs total —
+the standard distributed-GBDT shape.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass
+class GBDTParams:
+    num_classes: int = 4
+    num_rounds: int = 3
+    max_depth: int = 3
+    learning_rate: float = 0.3
+    reg_lambda: float = 1.0
+    n_bins: int = 16
+    min_child_hess: float = 1e-3
+    min_gain: float = 1e-9
+
+
+def _feature_bins(df: DataFrame, n_bins: int) -> dict[int, list[float]]:
+    """Equal-width bin edges per feature over its PRESENT values
+    (one pass; sparse zero/absent is the dedicated missing mass, not
+    a bin). Returns fidx → [edge_1 .. edge_{B-1}] (upper-open)."""
+    stats = (
+        df.select(F.explode(F.arrays_zip("indices", "values")).alias("e"))
+        .select(F.col("e.indices").alias("fidx"), F.col("e.values").alias("v"))
+        .groupBy("fidx")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    )
+    edges: dict[int, list[float]] = {}
+    for r in stats:
+        lo, hi = float(r["lo"]), float(r["hi"])
+        if hi <= lo:
+            edges[int(r["fidx"])] = [lo]  # single-valued feature
+        else:
+            step = (hi - lo) / n_bins
+            edges[int(r["fidx"])] = [lo + step * k for k in range(1, n_bins)]
+    return edges
+
+
+def train_gbdt(
+    assembled: DataFrame,
+    params: GBDTParams | None = None,
+) -> list[dict]:
+    """(indices array<int>, values array<double>, label int) rows →
+    reference-format model dump (flat tree list, tree i → class
+    i % num_classes). Feed to xgb.dump_score_fn / cli --model-dump."""
+    import numpy as np  # noqa: PLC0415
+
+    p = params or GBDTParams()
+    k = p.num_classes
+
+    rows = assembled.select(
+        "indices", "values", F.col("label").cast("int").alias("label"),
+        F.array(*[F.lit(0.0) for _ in range(k)]).alias("margins"),
+    ).localCheckpoint(eager=True)
+
+    edges = _feature_bins(rows, p.n_bins)
+    feats = sorted(edges)
+
+    # per-row feature lookup: absent/NULL → 0.0 (the dump scorer's
+    # dense-missing convention)
+    fmap = F.map_from_arrays("indices", "values")
+
+    def feat_val(fidx: int):
+        return F.coalesce(F.try_element_at(fmap, F.lit(int(fidx))), F.lit(0.0))
+
+    model_dump: list[dict] = []
+    for _ in range(p.num_rounds):
+        # softmax probabilities from current margins (row-local)
+        exps = F.transform("margins", lambda m: F.exp(m))
+        total = F.aggregate(exps, F.lit(0.0), lambda a, x: a + x)
+        probs = F.transform(exps, lambda e: e / total)
+        rows = rows.withColumn("probs", probs)
+
+        round_trees: list[dict] = []
+        new_margin_exprs = []
+        for c in range(k):
+            pc = F.element_at("probs", c + 1)
+            g = pc - F.when(F.col("label") == c, 1.0).otherwise(0.0)
+            h = pc * (F.lit(1.0) - pc)
+            tree_df = rows.withColumn("g", g).withColumn("h", h).withColumn(
+                "node", F.lit(0)
+            )
+
+            splits: dict[int, tuple[int, float]] = {}  # node → (fidx, cond)
+            frontier = [0]
+            for _level in range(p.max_depth):
+                if not frontier:
+                    break
+                # ONE distributed agg: per-(node, fidx, bin) g/h sums
+                # over PRESENT values + per-node totals
+                ex = tree_df.select(
+                    "node", "g", "h",
+                    F.explode(F.arrays_zip("indices", "values")).alias("e"),
+                ).select(
+                    "node", "g", "h",
+                    F.col("e.indices").alias("fidx"), F.col("e.values").alias("v"),
+                )
+                hist = {
+                    (int(r["node"]), int(r["fidx"]), int(r["bin"])): (
+                        float(r["sg"]), float(r["sh"])
+                    )
+                    for r in ex.withColumn(
+                        "bin", _bin_from_edges_expr(edges)
+                    )
+                    .groupBy("node", "fidx", "bin")
+                    .agg(F.sum("g").alias("sg"), F.sum("h").alias("sh"))
+                    .collect()
+                }
+                totals = {
+                    int(r["node"]): (float(r["sg"]), float(r["sh"]))
+                    for r in tree_df.groupBy("node")
+                    .agg(F.sum("g").alias("sg"), F.sum("h").alias("sh"))
+                    .collect()
+                }
+                level_splits = _best_splits(
+                    frontier, feats, edges, hist, totals, p, np
+                )
+                if not level_splits:
+                    break
+                splits.update(level_splits)
+                # nodes that failed to split are leaves; the next
+                # frontier is the new children only
+                frontier = sorted(
+                    c for n in level_splits for c in (2 * n + 1, 2 * n + 2)
+                )
+                # reassign: node → 2n+1 (left) / 2n+2 (right)
+                node_expr = F.col("node")
+                for n, (fidx, cond) in level_splits.items():
+                    v = feat_val(fidx)
+                    left = (v == F.lit(0.0)) | (v < F.lit(cond))
+                    node_expr = F.when(
+                        F.col("node") == n,
+                        F.when(left, F.lit(2 * n + 1)).otherwise(F.lit(2 * n + 2)),
+                    ).otherwise(node_expr)
+                tree_df = tree_df.withColumn("node", node_expr)
+
+            # leaf weights from final node totals
+            totals = {
+                int(r["node"]): (float(r["sg"]), float(r["sh"]))
+                for r in tree_df.groupBy("node")
+                .agg(F.sum("g").alias("sg"), F.sum("h").alias("sh"))
+                .collect()
+            }
+            leaves = {
+                n: -p.learning_rate * sg / (sh + p.reg_lambda)
+                for n, (sg, sh) in totals.items()
+                if n not in splits
+            }
+            tree = _emit_tree(splits, leaves)
+            round_trees.append(tree)
+
+            # margin update for class c: node-indexed when-chain —
+            # row-local, mirrors the scorer's walk exactly
+            delta = F.lit(0.0)
+            for n, wgt in leaves.items():
+                cond = _node_path_cond(n, splits, feat_val)
+                delta = F.when(cond, F.lit(wgt)).otherwise(delta)
+            new_margin_exprs.append(F.element_at("margins", c + 1) + delta)
+
+        model_dump.extend(round_trees)
+        rows = rows.select(
+            "indices", "values", "label",
+            F.array(*new_margin_exprs).alias("margins"),
+        ).localCheckpoint(eager=True)
+
+    _assign_nodeids(model_dump)
+    return model_dump
+
+
+def _bin_from_edges_expr(edges: dict[int, list[float]]):
+    """bin(v | fidx) = count of this feature's edges <= v, via ONE
+    map literal (fidx → edges array) + a HOF aggregate — a per-feature
+    CASE chain here would hit the giant-CaseWhen codegen cliff at real
+    feature counts (BENCH/BASELINE.md §R4)."""
+    pairs = []
+    for fidx, es in edges.items():
+        pairs += [F.lit(int(fidx)), F.array(*[F.lit(float(e)) for e in es])]
+    edge_map = F.create_map(*pairs)
+    es_arr = F.coalesce(
+        F.try_element_at(edge_map, F.col("fidx")),
+        F.array().cast("array<double>"),
+    )
+    return F.aggregate(
+        es_arr,
+        F.lit(0),
+        lambda acc, e: acc + F.when(F.col("v") >= e, 1).otherwise(0),
+    )
+
+
+def _best_splits(frontier, feats, edges, hist, totals, p, np):
+    """Argmax-gain split per frontier node from the collected
+    histograms; missing mass (node total − present sums) rides LEFT
+    (the scorer's missing→yes semantics)."""
+    out: dict[int, tuple[int, float]] = {}
+    for n in frontier:
+        if n not in totals:
+            continue
+        gt, ht = totals[n]
+        if ht < 2 * p.min_child_hess:
+            continue
+        base = gt * gt / (ht + p.reg_lambda)
+        best = (p.min_gain, None, None)
+        for fidx in feats:
+            es = edges[fidx]
+            nb = len(es) + 1
+            sg = np.zeros(nb)
+            sh = np.zeros(nb)
+            for b in range(nb):
+                v = hist.get((n, fidx, b))
+                if v:
+                    sg[b], sh[b] = v
+            g_missing = gt - sg.sum()
+            h_missing = ht - sh.sum()
+            # left at threshold t = missing + bins < t
+            gl = g_missing + np.cumsum(sg)[:-1]
+            hl = h_missing + np.cumsum(sh)[:-1]
+            gr, hr = gt - gl, ht - hl
+            ok = (hl >= p.min_child_hess) & (hr >= p.min_child_hess)
+            if not ok.any():
+                continue
+            gain = np.where(
+                ok,
+                gl * gl / (hl + p.reg_lambda) + gr * gr / (hr + p.reg_lambda) - base,
+                -np.inf,
+            )
+            t = int(np.argmax(gain))
+            if gain[t] > best[0]:
+                # condition = lower edge of the first right-side bin
+                best = (float(gain[t]), fidx, float(es[t]))
+        if best[1] is not None:
+            out[n] = (best[1], best[2])
+    return out
+
+
+def _node_path_cond(leaf: int, splits: dict, feat_val):
+    """Conjunction of branch predicates from root to `leaf` (heap
+    numbering: parent (n-1)//2, left iff odd)."""
+    cond = F.lit(True)
+    n = leaf
+    while n != 0:
+        parent = (n - 1) // 2
+        fidx, c = splits[parent]
+        v = feat_val(fidx)
+        left = (v == F.lit(0.0)) | (v < F.lit(c))
+        cond = cond & (left if n % 2 == 1 else ~left)
+        n = parent
+    return cond
+
+
+def _emit_tree(splits: dict, leaves: dict) -> dict:
+    """Heap-numbered splits/leaves → reference full-dump tree dict."""
+    def build(n: int) -> dict:
+        if n in splits:
+            fidx, c = splits[n]
+            return {
+                "nodeid": 0, "depth": 0, "split": int(fidx),
+                "split_condition": float(c), "yes": 0, "no": 0, "missing": 0,
+                "children": [build(2 * n + 1), build(2 * n + 2)],
+            }
+        return {"nodeid": 0, "leaf": float(leaves.get(n, 0.0))}
+    return build(0)
+
+
+def _assign_nodeids(model_dump: list[dict]) -> None:
+    """Preorder nodeids per tree: left subtree before right, so the
+    reference invariant yes < no (and missing == yes) holds
+    (xgbpredictor_dump.py:50-53 asserts it)."""
+    for tree in model_dump:
+        counter = [0]
+
+        def walk(node: dict) -> None:
+            node["nodeid"] = counter[0]
+            counter[0] += 1
+            if "children" in node:
+                left, right = node["children"]
+                walk(left)
+                walk(right)
+                node["yes"] = left["nodeid"]
+                node["no"] = right["nodeid"]
+                node["missing"] = left["nodeid"]
+
+        walk(tree)
