@@ -1920,6 +1920,44 @@ def q_session_window_agg(spark, sf_dir):
     )
 
 
+@_q("gbdt_train_score")  # iterative training loop: rows-only
+def q_gbdt_train_score(spark, sf_dir):
+    """train → dump → score in one engine (operators/gbdt.py +
+    xgb.py, no GBDT library): fit a small boosted forest on the
+    embeddings table (components as sparse features, label % 4 as
+    class), emit the reference-format dump, score it back with the
+    native dump scorer, return the per-class prediction histogram
+    with per-class accuracy. Deterministic (equal-width bins,
+    first-max argmax) but iterative — no SQL twin."""
+    from cookieblock_consent_classifier_spark import predict as P, xgb
+    from cookieblock_consent_classifier_spark.operators import gbdt
+
+    key = ("gbdt_train_score", id(spark))
+    cached = _PLAN_CACHE.get(key)
+    if cached is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()["embedding"])
+        rows = emb.select(
+            F.col("vec_id").alias("row_id"),
+            F.sequence(F.lit(0), F.lit(dim - 1)).cast("array<int>").alias("indices"),
+            F.col("embedding").cast("array<double>").alias("values"),
+            F.pmod("label", F.lit(4)).cast("int").alias("label"),
+        ).localCheckpoint(eager=True)
+        dump = gbdt.train_gbdt(
+            rows, gbdt.GBDTParams(num_rounds=2, max_depth=2, n_bins=8)
+        )
+        xgb.validate_full_dump(dump, 4)
+        scored = P.predict(rows, score_fn=xgb.dump_score_fn(dump), loss=P.EQUAL_LOSS)
+        cached = scored.groupBy("predicted_label").agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.avg((F.col("predicted_label") == F.col("label")).cast("double")), 6
+            ).alias("class_precision"),
+        )
+        _PLAN_CACHE[key] = cached
+    return cached
+
+
 @_q("predict_pipeline")  # synthetic input + fixture model: rows-only
 def q_predict_pipeline(spark, sf_dir):
     """inference dataflow (predict_class.py analogue): no-filter
