@@ -1927,8 +1927,10 @@ def q_gbdt_train_score(spark, sf_dir):
     embeddings table (components as sparse features, label % 4 as
     class), emit the reference-format dump, score it back with the
     native dump scorer, return the per-class prediction histogram
-    with per-class accuracy. Deterministic (equal-width bins,
-    first-max argmax) but iterative — no SQL twin."""
+    with per-class accuracy. Iterative (no SQL twin) and rows-only:
+    split choices argmax over groupBy float sums whose partial-merge
+    order Spark does not fix, so a near-tied split can flip between
+    runs — the gate records row count only, which is stable."""
     from cookieblock_consent_classifier_spark import predict as P, xgb
     from cookieblock_consent_classifier_spark.operators import gbdt
 

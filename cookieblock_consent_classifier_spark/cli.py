@@ -152,12 +152,13 @@ def main(argv: list[str] | None = None) -> None:
         acc = scored.select(
             F.avg((F.col("predicted_label") == F.col("label")).cast("double")).alias("a")
         ).first()["a"]
+        acc = round(acc, 4) if acc is not None else None  # empty train set
         print(json.dumps({
             "stages": pipe.metrics(),
             "width": len(names),
             "model_dump": dump_path,
             "trees": len(dump),
-            "train_accuracy": round(acc, 4),
+            "train_accuracy": acc,
         }))
         return
 

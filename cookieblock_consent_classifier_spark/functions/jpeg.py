@@ -7,9 +7,10 @@ zigzag scan, differential DC, run/size AC huffman entropy coding with
 the Annex K.3 standard tables, JFIF marker stream (SOI APP0 DQT SOF0
 DHT DHT SOS ... EOI) with 0xFF byte stuffing. The decoder parses the
 marker stream it is given — quant and huffman tables come from the
-DQT/DHT segments, not from module constants — so any standards-
-compliant baseline grayscale JPEG decodes, and files this encoder
-writes are readable by any standard decoder.
+DQT/DHT segments, not from module constants — so baseline grayscale
+JPEGs from other encoders decode too (those WITHOUT restart
+intervals; DRI raises), and files this encoder writes are readable by
+any standard decoder.
 
 Scope (documented): baseline sequential DCT, 8-bit, ONE component
 (grayscale), no subsampling, no restart intervals, no progressive
@@ -51,7 +52,6 @@ ZIGZAG = np.array([
     58, 59, 52, 45, 38, 31, 39, 46,
     53, 60, 61, 54, 47, 55, 62, 63,
 ], dtype=np.int64)
-UNZIGZAG = np.argsort(ZIGZAG)
 
 # K.1 luminance quantization table (natural order)
 STD_LUM_QT = np.array([
@@ -151,6 +151,9 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:  # byte stuffing (B.1.1.5)
                 self.out.append(0x00)
+        # drop drained bits — an unmasked acc grows with every bit
+        # ever written and turns encoding quadratic in stream size
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> None:
         if self.nbits:
@@ -261,14 +264,16 @@ class _BitReader:
                 self.pos += 1  # stuffed byte
             else:
                 raise ValueError(f"unexpected marker 0xFF{nxt:02X} inside scan")
-        self.acc = (self.acc << 8) | b
+        self.acc = ((self.acc << 8) | b) & ((1 << (self.nbits + 8)) - 1)
         self.nbits += 8
 
     def read_bit(self) -> int:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        bit = (self.acc >> self.nbits) & 1
+        self.acc &= (1 << self.nbits) - 1  # keep acc bounded (linear decode)
+        return bit
 
     def read_bits(self, n: int) -> int:
         v = 0
@@ -313,6 +318,8 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             break
         if marker in (0xFFC2, 0xFFC1, 0xFFC3):
             raise NotImplementedError("only baseline sequential (SOF0) is supported")
+        if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD7:
+            continue  # TEM/RSTn are standalone — no length field
         (length,) = struct.unpack(">H", payload[pos:pos + 2])
         body = payload[pos + 2:pos + length]
         pos += length

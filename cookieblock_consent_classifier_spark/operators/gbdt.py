@@ -41,6 +41,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
+from cookieblock_consent_classifier_spark import xgb
+
 
 @dataclass
 class GBDTParams:
@@ -88,20 +90,30 @@ def train_gbdt(
     p = params or GBDTParams()
     k = p.num_classes
 
+    # optional per-row sample weight (the inverse-class-frequency
+    # column assemble_sparse attaches): weighted objective g*=w, h*=w,
+    # like the reference's weighted training; absent → unweighted
+    has_w = "weight" in assembled.columns
+    w_col = F.col("weight").cast("double") if has_w else F.lit(1.0)
     rows = assembled.select(
         "indices", "values", F.col("label").cast("int").alias("label"),
+        w_col.alias("w"),
         F.array(*[F.lit(0.0) for _ in range(k)]).alias("margins"),
     ).localCheckpoint(eager=True)
 
     edges = _feature_bins(rows, p.n_bins)
     feats = sorted(edges)
+    # hoist: the feature→edges map literal is large (features × bins
+    # Column nodes); build it ONCE, not per round × class × level
+    bin_col = _bin_from_edges_expr(edges)
 
-    # per-row feature lookup: absent/NULL → 0.0 (the dump scorer's
-    # dense-missing convention)
-    fmap = F.map_from_arrays("indices", "values")
+    # per-row feature lookup: the SAME sparse lookup the dump scorer
+    # compiles against (xgb.sparse_feat), missing/NULL → 0.0 (dense
+    # convention) — one implementation, train == score by sharing it
+    _lookup = xgb.sparse_feat()
 
     def feat_val(fidx: int):
-        return F.coalesce(F.try_element_at(fmap, F.lit(int(fidx))), F.lit(0.0))
+        return F.coalesce(_lookup(fidx), F.lit(0.0))
 
     model_dump: list[dict] = []
     for _ in range(p.num_rounds):
@@ -115,8 +127,8 @@ def train_gbdt(
         new_margin_exprs = []
         for c in range(k):
             pc = F.element_at("probs", c + 1)
-            g = pc - F.when(F.col("label") == c, 1.0).otherwise(0.0)
-            h = pc * (F.lit(1.0) - pc)
+            g = (pc - F.when(F.col("label") == c, 1.0).otherwise(0.0)) * F.col("w")
+            h = pc * (F.lit(1.0) - pc) * F.col("w")
             tree_df = rows.withColumn("g", g).withColumn("h", h).withColumn(
                 "node", F.lit(0)
             )
@@ -128,20 +140,23 @@ def train_gbdt(
                     break
                 # ONE distributed agg: per-(node, fidx, bin) g/h sums
                 # over PRESENT values + per-node totals
+                # explicit 0.0 entries are EXCLUDED from the present-
+                # value histogram: routing (and the dump scorer) send
+                # v==0.0 down the left/missing branch unconditionally,
+                # so their mass must ride in the missing term
+                # (node total − present sums), not a value bin
                 ex = tree_df.select(
                     "node", "g", "h",
                     F.explode(F.arrays_zip("indices", "values")).alias("e"),
                 ).select(
                     "node", "g", "h",
                     F.col("e.indices").alias("fidx"), F.col("e.values").alias("v"),
-                )
+                ).filter(F.col("v") != 0.0)
                 hist = {
                     (int(r["node"]), int(r["fidx"]), int(r["bin"])): (
                         float(r["sg"]), float(r["sh"])
                     )
-                    for r in ex.withColumn(
-                        "bin", _bin_from_edges_expr(edges)
-                    )
+                    for r in ex.withColumn("bin", bin_col)
                     .groupBy("node", "fidx", "bin")
                     .agg(F.sum("g").alias("sg"), F.sum("h").alias("sh"))
                     .collect()
@@ -199,7 +214,7 @@ def train_gbdt(
 
         model_dump.extend(round_trees)
         rows = rows.select(
-            "indices", "values", "label",
+            "indices", "values", "label", "w",
             F.array(*new_margin_exprs).alias("margins"),
         ).localCheckpoint(eager=True)
 

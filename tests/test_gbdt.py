@@ -141,3 +141,21 @@ def test_cli_train_then_predict_roundtrip(spark, tmp_path):
         ])
     res2 = J.loads(buf.getvalue().strip().splitlines()[-1])
     assert {s["stage"] for s in res2["stages"]} == {"scan", "extract", "predict"}
+
+
+def test_weight_column_feeds_the_objective(spark, train_df):
+    """An all-ones weight column trains the identical model to no
+    weight column (g*1.0 bitwise); skewed weights change it. Single
+    partition keeps float sum order deterministic for the equality."""
+    one_part = train_df.coalesce(1)
+    p = gbdt.GBDTParams(num_rounds=1, max_depth=2, n_bins=8)
+    d_plain = gbdt.train_gbdt(one_part, p)
+    d_ones = gbdt.train_gbdt(one_part.withColumn("weight", F.lit(1.0)), p)
+    assert d_plain == d_ones
+    d_skew = gbdt.train_gbdt(
+        one_part.withColumn(
+            "weight", F.when(F.col("label") == 3, 50.0).otherwise(1.0)
+        ),
+        p,
+    )
+    assert d_skew != d_plain
