@@ -146,6 +146,11 @@ def main(argv: list[str] | None = None) -> None:
         dump_path = os.path.join(args.output, "model_dump.json")
         with open(dump_path, "w", encoding="utf-8") as fd:
             json.dump(dump, fd)
+        # also export the reference's minimal sparse format (its
+        # JS-deployment artifact; servable via --dump-format sparse)
+        sparse_path = os.path.join(args.output, "model_sparse.json")
+        with open(sparse_path, "w", encoding="utf-8") as fd:
+            json.dump(xgb.to_sparse_format(dump), fd)
         scored = P.predict(
             feat.df, score_fn=xgb.dump_score_fn(dump), loss=P.EQUAL_LOSS
         )
@@ -157,6 +162,7 @@ def main(argv: list[str] | None = None) -> None:
             "stages": pipe.metrics(),
             "width": len(names),
             "model_dump": dump_path,
+            "model_sparse": sparse_path,
             "trees": len(dump),
             "train_accuracy": acc,
         }))

@@ -408,3 +408,40 @@ def fixture_dump() -> list[dict]:
         node(0, 0, 0.6, leaf(1, -0.05), leaf(2, 0.21)),
         node(0, 1, -0.45, leaf(1, 0.33), leaf(2, -0.02)),
     ]
+
+
+# -- format conversion: full dump → minimal sparse dump ---------------
+
+
+def to_sparse_format(
+    model_dump: list[dict], num_classes: int = 4
+) -> list[list[dict]]:
+    """Full JSON dump → per-class forests in the reference's MINIMAL
+    sparse format (xgbpredictor_sparsedump.py:64: node {"f","c","u",
+    "l","r"}, leaf {"v"}) — the artifact the reference exports for its
+    JavaScript deployment. The full format's missing==yes invariant
+    maps to default branch u="l".
+
+    Semantics caveat (inherent to the two reference formats, not this
+    converter): the full format routes an EXPLICIT 0.0 value down the
+    missing path, the sparse format compares it (0.0 < c); they
+    diverge only for rows carrying explicit zeros against splits with
+    c <= 0. The engine's assembled rows never store explicit zeros
+    (sparse zero = absent, plans/assemble.py), so scoring is
+    equivalent on engine data — pinned in tests/test_xgb.py."""
+    validate_full_dump(model_dump, num_classes)
+
+    def conv(node: dict) -> dict:
+        if "leaf" in node:
+            return {"v": float(node["leaf"])}
+        left, right = node["children"]
+        return {
+            "f": int(node["split"]),
+            "c": float(node["split_condition"]),
+            "u": "l",  # missing == yes == left (validated above)
+            "l": conv(left),
+            "r": conv(right),
+        }
+
+    forests = class_forests_full(model_dump, num_classes)
+    return [[conv(t) for t in f] for f in forests]

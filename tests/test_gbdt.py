@@ -131,6 +131,10 @@ def test_cli_train_then_predict_roundtrip(spark, tmp_path):
     assert res["trees"] == 8 and 0.0 <= res["train_accuracy"] <= 1.0
     dump_path = res["model_dump"]
     assert os.path.exists(dump_path)
+    # the minimal sparse export is a 4-forest list (JS artifact shape)
+    with open(res["model_sparse"], encoding="utf-8") as fd:
+        sparse = J.load(fd)
+    assert len(sparse) == 4 and all(isinstance(f, list) for f in sparse)
 
     out2 = str(tmp_path / "pred_out")
     buf = io.StringIO()

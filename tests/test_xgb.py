@@ -267,3 +267,36 @@ def test_null_values_are_missing_on_both_paths(spark):
             df, xgb.dump_score_fn(dump, fmt=fmt, max_expr_nodes=0)
         )
         np.testing.assert_allclose(kern_probs, expr_probs, rtol=1e-12, atol=1e-15)
+
+
+def test_sparse_format_conversion_scores_identically(spark):
+    """xgb.to_sparse_format(full_dump) scores the same as the full
+    dump on zero-free sparse rows — through the engine AND the real
+    reference sparse predictor (the JS-deployment artifact is
+    faithful). Rows avoid explicit 0.0 values: the two reference
+    formats legitimately diverge there (see to_sparse_format)."""
+    rows = []
+    rng = np.random.default_rng(23)
+    for i in range(120):
+        k = int(rng.integers(0, N_FEATURES + 1))
+        idx = sorted(rng.choice(N_FEATURES, size=k, replace=False).tolist())
+        vals = [float(v) or 0.001 for v in rng.uniform(-1, 1, size=k)]
+        rows.append((i, [int(x) for x in idx], vals))
+    df = spark.createDataFrame(
+        rows, "entity_id long, indices array<int>, values array<double>"
+    )
+    full = xgb.fixture_dump()
+    sparse = xgb.to_sparse_format(full)
+
+    p_full, _ = _engine_scored(df, xgb.dump_score_fn(full))
+    p_conv, _ = _engine_scored(
+        df, xgb.dump_score_fn(sparse, fmt="sparse"), decision="argmax"
+    )
+    np.testing.assert_allclose(p_conv, p_full, rtol=1e-12, atol=1e-15)
+
+    # the real reference sparse predictor agrees on the converted dump
+    _, sd = ref_shims.load_reference_dump_predictors()
+    for r, (_rid, idx, vals) in enumerate(rows[:40]):
+        fdict = {str(i): v for i, v in zip(idx, vals)}
+        ref_p, _dec = sd.forest_predict(sparse, fdict)
+        np.testing.assert_allclose(p_full[r], ref_p, rtol=1e-12, atol=1e-15)
