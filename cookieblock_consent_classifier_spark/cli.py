@@ -45,6 +45,13 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--train-rounds", type=int, default=3)
     ap.add_argument("--train-depth", type=int, default=3)
     ap.add_argument(
+        "--holdout", type=float, default=0.2,
+        help="train mode: deterministic md5-hash holdout fraction for "
+        "validation accuracy (train_test_split analogue, "
+        "train_xgb.py:292 — hash-based so resumable runs split "
+        "identically); 0 disables",
+    )
+    ap.add_argument(
         "--cmp-prefix", default="OptanonConsent",
         help="predict mode: cookie-name prefix for the consent histogram "
         "(predict_class.py:152-161)",
@@ -135,8 +142,21 @@ def main(argv: list[str] | None = None) -> None:
         from cookieblock_consent_classifier_spark import predict as P, xgb
         from cookieblock_consent_classifier_spark.operators import gbdt
 
+        # deterministic hash split (hash_split_8020 semantics): md5 of
+        # the entity id → stable train/holdout across resumed runs
+        train_df, holdout_df = feat.df, None
+        if args.holdout > 0:
+            bucket = F.pmod(
+                F.conv(F.substring(F.md5(F.col("entity_id").cast("string")), 1, 4), 16, 10)
+                .cast("long"),
+                F.lit(1000),
+            )
+            cut = int(args.holdout * 1000)
+            train_df = feat.df.filter(bucket >= cut)
+            holdout_df = feat.df.filter(bucket < cut)
+
         dump = gbdt.train_gbdt(
-            feat.df,
+            train_df,
             gbdt.GBDTParams(
                 num_rounds=args.train_rounds, max_depth=args.train_depth
             ),
@@ -151,20 +171,22 @@ def main(argv: list[str] | None = None) -> None:
         sparse_path = os.path.join(args.output, "model_sparse.json")
         with open(sparse_path, "w", encoding="utf-8") as fd:
             json.dump(xgb.to_sparse_format(dump), fd)
-        scored = P.predict(
-            feat.df, score_fn=xgb.dump_score_fn(dump), loss=P.EQUAL_LOSS
-        )
-        acc = scored.select(
-            F.avg((F.col("predicted_label") == F.col("label")).cast("double")).alias("a")
-        ).first()["a"]
-        acc = round(acc, 4) if acc is not None else None  # empty train set
+        def _acc(df):
+            if df is None:
+                return None
+            r = P.predict(df, score_fn=xgb.dump_score_fn(dump), loss=P.EQUAL_LOSS).select(
+                F.avg((F.col("predicted_label") == F.col("label")).cast("double")).alias("a")
+            ).first()["a"]
+            return round(r, 4) if r is not None else None  # empty split
+
         print(json.dumps({
             "stages": pipe.metrics(),
             "width": len(names),
             "model_dump": dump_path,
             "model_sparse": sparse_path,
             "trees": len(dump),
-            "train_accuracy": acc,
+            "train_accuracy": _acc(train_df),
+            "holdout_accuracy": _acc(holdout_df),
         }))
         return
 

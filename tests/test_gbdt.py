@@ -129,6 +129,7 @@ def test_cli_train_then_predict_roundtrip(spark, tmp_path):
         ])
     res = J.loads(buf.getvalue().strip().splitlines()[-1])
     assert res["trees"] == 8 and 0.0 <= res["train_accuracy"] <= 1.0
+    assert res["holdout_accuracy"] is None or 0.0 <= res["holdout_accuracy"] <= 1.0
     dump_path = res["model_dump"]
     assert os.path.exists(dump_path)
     # the minimal sparse export is a 4-forest list (JS artifact shape)
