@@ -54,20 +54,39 @@ class GBDTParams:
     n_bins: int = 16
     min_child_hess: float = 1e-3
     min_gain: float = 1e-9
+    # "width" = equal-width over [min, max]; "quantile" = one
+    # percentile_approx aggregation per feature — heavy-tailed
+    # features get usable candidate thresholds instead of one hot bin
+    bin_method: str = "width"
 
 
-def _feature_bins(df: DataFrame, n_bins: int) -> dict[int, list[float]]:
-    """Equal-width bin edges per feature over its PRESENT values
-    (one pass; sparse zero/absent is the dedicated missing mass, not
-    a bin). Returns fidx → [edge_1 .. edge_{B-1}] (upper-open)."""
-    stats = (
+def _feature_bins(
+    df: DataFrame, n_bins: int, method: str = "width"
+) -> dict[int, list[float]]:
+    """Candidate split edges per feature over its PRESENT values (one
+    distributed pass; sparse zero/absent is the dedicated missing
+    mass, not a bin). Returns fidx → ascending [edge_1 ..] — bin(v) =
+    count(edges <= v), split condition = the first right-side edge.
+
+    method="width": equal-width over [min, max]. method="quantile":
+    percentile_approx edges (deduped) — robust to heavy tails."""
+    ex = (
         df.select(F.explode(F.arrays_zip("indices", "values")).alias("e"))
         .select(F.col("e.indices").alias("fidx"), F.col("e.values").alias("v"))
-        .groupBy("fidx")
-        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
-        .collect()
     )
     edges: dict[int, list[float]] = {}
+    if method == "quantile":
+        qs = [k / n_bins for k in range(1, n_bins)]
+        stats = ex.groupBy("fidx").agg(
+            F.percentile_approx("v", qs, 10_000).alias("qs")
+        ).collect()
+        for r in stats:
+            uniq = sorted({float(q) for q in r["qs"] if q is not None})
+            edges[int(r["fidx"])] = uniq or [0.0]
+        return edges
+    stats = ex.groupBy("fidx").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).collect()
     for r in stats:
         lo, hi = float(r["lo"]), float(r["hi"])
         if hi <= lo:
@@ -101,7 +120,7 @@ def train_gbdt(
         F.array(*[F.lit(0.0) for _ in range(k)]).alias("margins"),
     ).localCheckpoint(eager=True)
 
-    edges = _feature_bins(rows, p.n_bins)
+    edges = _feature_bins(rows, p.n_bins, p.bin_method)
     feats = sorted(edges)
     # hoist: the feature→edges map literal is large (features × bins
     # Column nodes); build it ONCE, not per round × class × level

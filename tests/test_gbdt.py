@@ -164,3 +164,36 @@ def test_weight_column_feeds_the_objective(spark, train_df):
         p,
     )
     assert d_skew != d_plain
+
+
+def test_quantile_bins_learn_heavy_tailed_feature(spark):
+    """Equal-width bins waste candidates on a heavy-tailed feature
+    (one outlier stretches the range so the signal collapses into one
+    bin); quantile bins place thresholds where the data is. The
+    decision boundary at median(f0) is learnable only with usable
+    candidates near it."""
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(400):
+        # lognormal-ish tail + a huge outlier; label = f0 above median
+        f0 = float(np.exp(rng.normal(0, 1))) if i != 0 else 1e6
+        rows.append((i, [0], [f0], int(f0 > 1.0)))
+    df = spark.createDataFrame(
+        rows, "row_id long, indices array<int>, values array<double>, label int"
+    )
+
+    def acc(dump):
+        scored = P.predict(df, score_fn=xgb.dump_score_fn(dump, num_classes=2), loss=None)
+        scored = scored.withColumn(
+            "predicted_label", xgb.argmax_probs(F.col("probs"), num_classes=2)
+        )
+        return scored.select(
+            F.avg((F.col("predicted_label") == F.col("label")).cast("double")).alias("a")
+        ).first()["a"]
+
+    base = gbdt.GBDTParams(num_classes=2, num_rounds=2, max_depth=2, n_bins=8)
+    import dataclasses
+    a_width = acc(gbdt.train_gbdt(df, base))
+    a_quant = acc(gbdt.train_gbdt(df, dataclasses.replace(base, bin_method="quantile")))
+    assert a_quant >= 0.95, a_quant
+    assert a_quant >= a_width  # width bins collapse under the outlier

@@ -300,3 +300,32 @@ def test_sparse_format_conversion_scores_identically(spark):
         fdict = {str(i): v for i, v in zip(idx, vals)}
         ref_p, _dec = sd.forest_predict(sparse, fdict)
         np.testing.assert_allclose(p_full[r], ref_p, rtol=1e-12, atol=1e-15)
+
+
+def test_kernel_scoring_runs_unchanged_on_a_stream(spark, tmp_path, rows):
+    """The Arrow scoring kernel is a plain column over (indices,
+    values), so model inference runs under readStream with batch-equal
+    values — the streaming-serving story for the dump predictor."""
+    src = str(tmp_path / "score_stream")
+    df = spark.createDataFrame(
+        rows, "entity_id long, indices array<int>, values array<double>"
+    )
+    df.write.parquet(src)
+    score = xgb.dump_score_fn(xgb.fixture_dump(), max_expr_nodes=0)  # kernel path
+    batch = {
+        r["entity_id"]: r["probs"]
+        for r in P.predict(df, score_fn=score, loss=P.EQUAL_LOSS).collect()
+    }
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        P.predict(stream, score_fn=score, loss=P.EQUAL_LOSS)
+        .writeStream.format("memory").queryName("xgb_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["entity_id"]: r["probs"] for r in spark.table("xgb_stream").collect()
+    }
+    assert set(got) == set(batch)
+    for k in got:
+        np.testing.assert_allclose(got[k], batch[k], rtol=1e-12, atol=1e-15)
