@@ -102,3 +102,29 @@ def test_image_dispatch_routes_jpeg_and_legacy():
     assert psnr(px, decode_image(enc)) >= 40.0
     legacy = b"SGIM" + struct.pack("<II", 4, 4) + bytes(range(16))
     assert decode_image(legacy).shape == (4, 4)
+
+
+# -- property fuzz (hypothesis) ---------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    quality=st.integers(50, 100),
+)
+def test_fuzz_round_trip_never_crashes_and_bounds_error(h, w, seed, quality):
+    """Any shape x any content x any sane quality: encode→decode
+    preserves shape, stays within a conservative error bound (every
+    quantization step ≤ 255 ⇒ per-coefficient error bounded), and the
+    stream is well-formed (SOI..EOI)."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    enc = jpeg.encode_jpeg_gray(px, quality=quality)
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    dec = jpeg.decode_jpeg_gray(enc)
+    assert dec.shape == (h, w)
+    assert psnr(px, dec) >= 20.0  # worst-case uniform noise at q50
