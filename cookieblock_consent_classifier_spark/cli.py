@@ -142,18 +142,33 @@ def main(argv: list[str] | None = None) -> None:
         from cookieblock_consent_classifier_spark import predict as P, xgb
         from cookieblock_consent_classifier_spark.operators import gbdt
 
-        # deterministic hash split (hash_split_8020 semantics): md5 of
-        # the entity id → stable train/holdout across resumed runs
+        if not 0.0 <= args.holdout < 1.0:
+            raise SystemExit(f"--holdout must be in [0, 1), got {args.holdout}")
+        # deterministic hash split (the SAME helper the search/CV
+        # dataflow uses — 60-bit md5, uniform buckets): stable across
+        # resumed runs
+        from cookieblock_consent_classifier_spark.operators.search import hash_fold
+
         train_df, holdout_df = feat.df, None
         if args.holdout > 0:
-            bucket = F.pmod(
-                F.conv(F.substring(F.md5(F.col("entity_id").cast("string")), 1, 4), 16, 10)
-                .cast("long"),
-                F.lit(1000),
-            )
-            cut = int(args.holdout * 1000)
+            bucket = hash_fold(F.col("entity_id").cast("string"), 1000)
+            cut = round(args.holdout * 1000)
             train_df = feat.df.filter(bucket >= cut)
             holdout_df = feat.df.filter(bucket < cut)
+            # re-derive inverse-class-frequency weights from the TRAIN
+            # split only (the extract-stage weights were computed over
+            # the full corpus and would fold holdout label counts into
+            # the objective)
+            counts = train_df.groupBy("label").agg(F.count("*").alias("__n"))
+            totals = counts.agg(F.sum("__n").alias("__t"))
+            w = counts.crossJoin(F.broadcast(totals)).select(
+                "label", (F.col("__t") / F.col("__n")).alias("__w")
+            )
+            train_df = (
+                train_df.drop("weight")
+                .join(F.broadcast(w), "label", "left")
+                .withColumnRenamed("__w", "weight")
+            )
 
         dump = gbdt.train_gbdt(
             train_df,
@@ -171,10 +186,12 @@ def main(argv: list[str] | None = None) -> None:
         sparse_path = os.path.join(args.output, "model_sparse.json")
         with open(sparse_path, "w", encoding="utf-8") as fd:
             json.dump(xgb.to_sparse_format(dump), fd)
+        score_fn = xgb.dump_score_fn(dump)  # compile the scorer once
+
         def _acc(df):
             if df is None:
                 return None
-            r = P.predict(df, score_fn=xgb.dump_score_fn(dump), loss=P.EQUAL_LOSS).select(
+            r = P.predict(df, score_fn=score_fn, loss=P.EQUAL_LOSS).select(
                 F.avg((F.col("predicted_label") == F.col("label")).cast("double")).alias("a")
             ).first()["a"]
             return round(r, 4) if r is not None else None  # empty split

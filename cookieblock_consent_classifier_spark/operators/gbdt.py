@@ -70,9 +70,14 @@ def _feature_bins(
 
     method="width": equal-width over [min, max]. method="quantile":
     percentile_approx edges (deduped) — robust to heavy tails."""
+    if method not in ("width", "quantile"):
+        raise ValueError(f"unknown bin_method {method!r}")
+    # explicit 0.0 entries are missing mass everywhere else (histogram
+    # filter + scorer routing) — they must not shape bin edges either
     ex = (
         df.select(F.explode(F.arrays_zip("indices", "values")).alias("e"))
         .select(F.col("e.indices").alias("fidx"), F.col("e.values").alias("v"))
+        .filter(F.col("v") != 0.0)
     )
     edges: dict[int, list[float]] = {}
     if method == "quantile":

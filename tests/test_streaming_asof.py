@@ -53,7 +53,7 @@ def _run_stream(df, name, timeout=180):
         df.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(timeout)
+    assert q.awaitTermination(timeout), f"{name}: streaming query timed out"
 
 
 def test_streaming_asof_single_batch_equals_batch(spark, tmp_path):

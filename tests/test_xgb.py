@@ -322,7 +322,7 @@ def test_kernel_scoring_runs_unchanged_on_a_stream(spark, tmp_path, rows):
         .writeStream.format("memory").queryName("xgb_stream")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(180), "streaming scoring query timed out"
     got = {
         r["entity_id"]: r["probs"] for r in spark.table("xgb_stream").collect()
     }
