@@ -1631,38 +1631,284 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
-@_q("cookie_feature_pipeline")  # full declared-schema extraction: no SQL twin
-def q_cookie_feature_pipeline(spark, sf_dir):
-    """The flagship parity surface: compile the full declared feature
-    schema (reference features.json shape, SURVEY §1.2/§2) over a
-    synthesized cookie-update table → sparse (indices, values) rows +
-    label + weight. Values are pinned by tests/test_pipeline.py's
-    pure-Python twin; this entry pins row shape + determinism."""
+# ---- the oracled end-to-end pipeline (VERDICT r4 item 1) -------------
+# cookie_feature_pipeline runs the REAL compile_features + assembler
+# over the SQL-expressible native sub-schema (compiler.native_schema —
+# same specs, builders, widths, and assembly as the full schema, minus
+# the Arrow-kernel / Python-regex / difflib features) on an
+# events-derived input, and its DuckDB twin replays the WHOLE
+# composition: scan → label filter → per-update exprs → lag window →
+# one groupBy (slot pivots + aggregates) → uniform-domain + rank joins
+# → ordered sparse assembly → inverse-class-frequency weights. Output
+# is the assembled sparse rows in long form (posexplode) so the
+# (indices, values) ORDER is hash-pinned too: pos is the position in
+# the assembled arrays, fidx the feature-vector index.
+
+def _pipeline_oracle_sql() -> str:
+    from cookieblock_consent_classifier_spark.functions.native import EXPIRY_BUCKETS
     from cookieblock_consent_classifier_spark.plans.compiler import (
-        compile_features, default_schema,
+        RANK_FEATURES, native_schema,
+    )
+    from cookieblock_consent_classifier_spark.sources.readers import (
+        EVENTS_DOMAIN_CASES, EVENTS_EXPIRY_CASES, EVENTS_NAME_CASES, _HALF_NIBBLES,
     )
     from cookieblock_consent_classifier_spark.sources.resources import fixture_resources
-    from cookieblock_consent_classifier_spark.sources.synth import synth_cookie_updates
 
     res = fixture_resources()
-    # memoize the compiled plan per session: construction of the full
-    # declared-schema DAG costs seconds of driver time and the
-    # DataFrame is immutable/reusable
-    key = ("cookie_pipeline", id(spark))
+    schema = native_schema(res, num_updates=2, num_diffs=2)
+
+    # --- src: the SQL twin of readers.cookie_updates_from_events,
+    # generated from the same constant maps
+    name_case = " ".join(
+        f"WHEN user_id % 7 = {k} THEN '{v}'" for k, v in EVENTS_NAME_CASES.items()
+    )
+    dom_case = " ".join(
+        f"WHEN user_id % 5 = {k} THEN '{v}'" for k, v in EVENTS_DOMAIN_CASES.items()
+    )
+    exp_case = " ".join(
+        f"WHEN substr(h, 6, 1) = '{k}' THEN CAST({v} AS BIGINT)"
+        for k, v in EVENTS_EXPIRY_CASES.items()
+    )
+    half = ", ".join(f"'{c}'" for c in _HALF_NIBBLES)
+    src = f"""
+  SELECT CAST(user_id AS VARCHAR) AS entity_id, ts,
+         CAST(event_id AS INT) AS update_idx,
+         CASE {name_case} ELSE 'misc_' || CAST(user_id AS VARCHAR) END AS name,
+         CASE {dom_case} END AS domain,
+         CASE WHEN user_id % 3 = 0 THEN '/app' ELSE '/' END AS path,
+         CAST(CAST(('0x' || substr(md5('l' || CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) % 5 AS INT) AS label,
+         props AS value,
+         CASE {exp_case} ELSE CAST(('0x' || substr(h, 7, 12)) AS BIGINT) % 60000000 END AS expiry,
+         substr(h, 1, 1) IN ({half}) AS http_only,
+         substr(h, 2, 1) IN ({half}) AS secure,
+         substr(h, 3, 1) IN ({half}) AS session,
+         substr(h, 4, 1) IN ({half}) AS host_only,
+         CASE WHEN substr(h, 5, 1) IN ('0','1','2','3','4') THEN 'no_restriction'
+              WHEN substr(h, 5, 1) IN ('5','6','7','8','9') THEN 'lax'
+              ELSE 'strict' END AS same_site
+  FROM (SELECT *, md5(CAST(event_id AS VARCHAR)) AS h FROM events)"""
+
+    # --- per-update slot expressions (compiler._per_update_builders
+    # twins, evaluated per win row)
+    def pmb(cond: str) -> str:
+        return f"CASE WHEN {cond} THEN 1.0 ELSE -1.0 END"
+
+    bucket_exprs = []
+    for lo, hi in EXPIRY_BUCKETS:
+        if lo == float("-inf"):
+            bucket_exprs.append(pmb(f"expiry < {hi}"))
+        elif hi == float("inf"):
+            bucket_exprs.append(pmb(f"expiry >= {lo}"))
+        else:
+            bucket_exprs.append(pmb(f"(expiry >= {lo} AND expiry <= {hi})"))
+    pu_exprs: dict[str, list[str]] = {
+        "http_only": [pmb("http_only")],
+        "secure": [pmb("secure")],
+        "session": [pmb("session")],
+        "same_site": [pmb(f"same_site = '{c}'") for c in ("no_restriction", "lax", "strict")],
+        "expiry": ["CAST(expiry AS DOUBLE)"],
+        "expiry_extra": bucket_exprs,
+    }
+    pd_exprs = {"time_difference": "d_time_difference", "lev_distance": "d_lev"}
+
+    # --- ent: one groupBy — slot pivots + per-entity aggregates
+    def chg(col: str) -> str:
+        return (
+            f"CASE WHEN max(CASE WHEN prev_{col} IS NOT NULL AND {col} <> prev_{col} "
+            f"THEN 1 ELSE 0 END) = 1 THEN 1.0 END"
+        )
+
+    pivots = []
+    for spec in schema.per_update:
+        for u in range(schema.num_updates):
+            for i, e in enumerate(pu_exprs[spec.name]):
+                pivots.append(
+                    f"max(CASE WHEN slot = {u} THEN {e} END) AS pu_{spec.name}_{u}_{i}"
+                )
+    for spec in schema.per_diff:
+        for d in range(schema.num_diffs):
+            pivots.append(
+                f"max(CASE WHEN slot = {d + 1} THEN {pd_exprs[spec.name]} END) "
+                f"AS pd_{spec.name}_{d}"
+            )
+    pivot_sql = ",\n         ".join(pivots)
+
+    # --- per-entity feature expressions over feat columns, keyed by
+    # spec name; rank specs are handled as rank branches in the walk
+    vendors = ", ".join(f"'{v}'" for v in sorted(res.iab_vendors))
+    pe_exprs: dict[str, list[str]] = {
+        "iab_vendor": [f"CASE WHEN udom IN ({vendors}) THEN 1.0 END"],
+        "domain_period": ["CASE WHEN starts_with(domain, '.') THEN 1.0 END"],
+        "host_only": ["e_host_only"],
+        "third_party": ["CASE WHEN NOT contains('shop.example.com', udom) THEN 1.0 END"],
+        "non_root_path": ["CASE WHEN trim(path) <> '/' THEN 1.0 END"],
+        "update_count": ["update_count"],
+        "http_only_changed": ["chg_http_only"],
+        "secure_changed": ["chg_secure"],
+        "same_site_changed": ["chg_same_site"],
+        "session_changed": ["chg_session"],
+        "content_changed": ["chg_content"],
+        "expiry_changed": ["chg_expiry"],
+        "levenshtein_total": ["lev_mean", "lev_std"],
+        "contlength_total": ["cl_mean", "cl_std"],
+    }
+    rank_cols = {"top_names": "tn_rank", "top_domains": "td_rank"}
+
+    # --- ordered sparse assembly: same declaration walk as
+    # compile_features' Block list → guaranteed offset alignment
+    branches: list[str] = []
+    base = 0
+    for spec in schema.per_entity:
+        if spec.name in RANK_FEATURES:
+            rc = rank_cols[spec.name]
+            branches.append(
+                f"SELECT entity_id, {base} + {rc} AS fidx, 1.0 AS val "
+                f"FROM feat WHERE {rc} IS NOT NULL"
+            )
+        else:
+            exprs = pe_exprs[spec.name]
+            assert len(exprs) == spec.vector_size, spec.name
+            for i, e in enumerate(exprs):
+                branches.append(
+                    f"SELECT entity_id, {base + i} AS fidx, CAST({e} AS DOUBLE) AS val "
+                    f"FROM feat WHERE ({e}) IS NOT NULL"
+                )
+        base += spec.vector_size
+    for spec in schema.per_update:
+        for u in range(schema.num_updates):
+            for i in range(spec.vector_size):
+                c = f"pu_{spec.name}_{u}_{i}"
+                branches.append(
+                    f"SELECT entity_id, {base + i} AS fidx, CAST({c} AS DOUBLE) AS val "
+                    f"FROM feat WHERE {c} IS NOT NULL"
+                )
+            base += spec.vector_size
+    for spec in schema.per_diff:
+        for d in range(schema.num_diffs):
+            c = f"pd_{spec.name}_{d}"
+            branches.append(
+                f"SELECT entity_id, {base} AS fidx, CAST({c} AS DOUBLE) AS val "
+                f"FROM feat WHERE {c} IS NOT NULL"
+            )
+            base += spec.vector_size
+    assert base == schema.total_width, (base, schema.total_width)
+    coo_sql = "\n  UNION ALL\n  ".join(branches)
+
+    tn_vals = ", ".join(f"('{k}', {i})" for i, k in enumerate(res.top_names))
+    td_vals = ", ".join(f"('{k}', {i})" for i, k in enumerate(res.top_domains))
+    udom = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "trim(domain), '^http(s)?://', ''), '^www([0-9])?', ''), "
+        r"'^\.', ''), '/$', '')"
+    )
+
+    return f"""
+WITH src AS ({src}),
+filt AS (SELECT * FROM src WHERE label BETWEEN 0 AND 3),
+win AS (
+  SELECT *,
+         row_number() OVER w - 1 AS slot,
+         row_number() OVER w AS rn,
+         lag(value) OVER w AS prev_value,
+         lag(expiry) OVER w AS prev_expiry,
+         lag(http_only) OVER w AS prev_http_only,
+         lag(secure) OVER w AS prev_secure,
+         lag(same_site) OVER w AS prev_same_site,
+         lag(session) OVER w AS prev_session,
+         CAST(expiry - lag(expiry) OVER w AS DOUBLE) AS d_time_difference,
+         CASE WHEN lag(value) OVER w IS NOT NULL
+              THEN CAST(levenshtein(lag(value) OVER w, value) AS DOUBLE) END AS d_lev,
+         CAST(strlen(value) AS DOUBLE) AS byte_len
+  FROM filt WINDOW w AS (PARTITION BY entity_id ORDER BY ts, update_idx)
+),
+ent AS (
+  SELECT entity_id,
+         min(name) AS name, min(domain) AS domain, min(path) AS path,
+         min(label) AS label,
+         CAST(count(*) AS DOUBLE) AS update_count,
+         {chg("http_only")} AS chg_http_only,
+         {chg("secure")} AS chg_secure,
+         {chg("same_site")} AS chg_same_site,
+         {chg("session")} AS chg_session,
+         {chg("value")} AS chg_content,
+         CASE WHEN max(CASE WHEN abs(expiry - prev_expiry) >= 86400 THEN 1 ELSE 0 END) = 1
+              THEN 1.0 END AS chg_expiry,
+         CASE WHEN max(CASE WHEN rn = 1 AND host_only THEN 1 ELSE 0 END) = 1
+              THEN 1.0 END AS e_host_only,
+         coalesce(avg(d_lev), -1.0) AS lev_mean,
+         coalesce(stddev_samp(d_lev), -1.0) AS lev_std,
+         coalesce(avg(byte_len), -1.0) AS cl_mean,
+         coalesce(stddev_samp(byte_len), -1.0) AS cl_std,
+         {pivot_sql}
+  FROM win GROUP BY entity_id
+),
+entu AS (SELECT *, {udom} AS udom FROM ent),
+feat AS (
+  SELECT e.*, tn.tn_rank, td.td_rank
+  FROM entu e
+  LEFT JOIN (VALUES {tn_vals}) AS tn(tn_name, tn_rank) ON e.name = tn.tn_name
+  LEFT JOIN (VALUES {td_vals}) AS td(td_dom, td_rank) ON e.udom = td.td_dom
+),
+coo AS (
+  {coo_sql}
+),
+wts AS (
+  SELECT label, (SELECT count(*) FROM feat) * 1.0 / count(*) AS weight
+  FROM feat GROUP BY label
+)
+SELECT c.entity_id,
+       CAST(row_number() OVER (PARTITION BY c.entity_id ORDER BY c.fidx) - 1 AS INT) AS pos,
+       CAST(c.fidx AS INT) AS fidx,
+       round(c.val, 4) AS val,
+       f.label,
+       round(w.weight, 6) AS weight
+FROM coo c
+JOIN feat f ON f.entity_id = c.entity_id
+JOIN wts w ON w.label = f.label
+"""
+
+
+@_q("cookie_feature_pipeline", _pipeline_oracle_sql())
+def q_cookie_feature_pipeline(spark, sf_dir):
+    """END-TO-END oracled pipeline: the real compile_features +
+    assemble_sparse over compiler.native_schema (the SQL-expressible
+    sub-schema — identical specs/builders/widths/assembly as the full
+    schema, minus kernel/regex-list/difflib features) on the
+    events-derived cookie table. The DuckDB twin replays every stage:
+    label filter, per-update ±1 / expiry-bucket exprs, lag window,
+    single-groupBy slot pivots + change flags + mean/std aggregates,
+    uniform-domain normalization, top-name/top-domain rank joins,
+    IAB-vendor membership, ordered sparse assembly, and
+    inverse-class-frequency weights. Long-form output (posexplode)
+    hash-pins the ORDER of the assembled (indices, values) arrays.
+    Full-width extraction stays pinned by cookie_pipeline_fullwidth +
+    golden parity (tests/test_golden_reference.py)."""
+    from cookieblock_consent_classifier_spark.plans.compiler import (
+        compile_features, native_schema,
+    )
+    from cookieblock_consent_classifier_spark.sources.readers import (
+        cookie_updates_from_events,
+    )
+    from cookieblock_consent_classifier_spark.sources.resources import fixture_resources
+
+    res = fixture_resources()
+    key = ("cookie_pipeline_native", id(spark), sf_dir)
     cached = _PLAN_CACHE.get(key)
     if cached is None:
-        df = synth_cookie_updates(spark, num_entities=500, updates_per_entity=3)
-        cached = compile_features(df, default_schema(res, num_updates=2, num_diffs=1), res)
+        src = cookie_updates_from_events(_t(spark, sf_dir, "events"))
+        cached = compile_features(src, native_schema(res, num_updates=2, num_diffs=2), res)
         _PLAN_CACHE[key] = cached
-    wide, names = cached
+    wide, _names = cached
     return wide.select(
+        "entity_id", "label", F.round("weight", 6).alias("weight"),
+        F.posexplode(F.arrays_zip("indices", "values")),
+    ).select(
         "entity_id",
-        F.size("indices").alias("nnz"),
-        F.round(
-            F.aggregate("values", F.lit(0.0), lambda a, v: a + F.abs(v)), 4
-        ).alias("l1_norm"),
+        F.col("pos").cast("int").alias("pos"),
+        F.col("col.indices").alias("fidx"),
+        F.round(F.col("col.values"), 4).alias("val"),
         "label",
-        F.round("weight", 6).alias("weight"),
+        "weight",
     )
 
 
@@ -1927,10 +2173,13 @@ def q_gbdt_train_score(spark, sf_dir):
     embeddings table (components as sparse features, label % 4 as
     class), emit the reference-format dump, score it back with the
     native dump scorer, return the per-class prediction histogram
-    with per-class accuracy. Iterative (no SQL twin) and rows-only:
-    split choices argmax over groupBy float sums whose partial-merge
-    order Spark does not fix, so a near-tied split can flip between
-    runs — the gate records row count only, which is stable."""
+    with per-class accuracy. Iterative (no SQL twin) so rows-only in
+    the gate — but since round 5 training is RUN-DETERMINISTIC
+    (decimal histogram sums + stable tie-break, gbdt.py; byte-equal
+    dump pinned in tests/test_gbdt.py) and the output left-joins a
+    literal 0..3 label frame, both the 4-row shape AND the values are
+    stable across runs (a class absent from predictions shows n=0
+    instead of dropping its row)."""
     from cookieblock_consent_classifier_spark import predict as P, xgb
     from cookieblock_consent_classifier_spark.operators import gbdt
 
@@ -1950,11 +2199,17 @@ def q_gbdt_train_score(spark, sf_dir):
         )
         xgb.validate_full_dump(dump, 4)
         scored = P.predict(rows, score_fn=xgb.dump_score_fn(dump), loss=P.EQUAL_LOSS)
-        cached = scored.groupBy("predicted_label").agg(
-            F.count("*").alias("n"),
+        hist = scored.groupBy("predicted_label").agg(
+            F.count("*").alias("n_pred"),
             F.round(
                 F.avg((F.col("predicted_label") == F.col("label")).cast("double")), 6
             ).alias("class_precision"),
+        )
+        all_labels = spark.range(4).select(F.col("id").cast("int").alias("predicted_label"))
+        cached = all_labels.join(F.broadcast(hist), "predicted_label", "left").select(
+            "predicted_label",
+            F.coalesce("n_pred", F.lit(0)).alias("n"),
+            F.coalesce("class_precision", F.lit(-1.0)).alias("class_precision"),
         )
         _PLAN_CACHE[key] = cached
     return cached
@@ -2022,7 +2277,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # correctness snapshot (it records the FIRST 50 queries): the flagship
 # feature pipelines and the north-rule image+caption pipeline.
 _PINNED_ROWS_ONLY = (
-    "cookie_feature_pipeline",
+    # cookie_feature_pipeline moved OUT of this list in round 5: it is
+    # now oracle-bearing (native sub-schema + full DuckDB twin), so it
+    # rides the oracle block of the snapshot instead (VERDICT r4 item 1
+    # — swap the pin, don't add a 51st entry).
     "cookie_pipeline_fullwidth",
     "image_pipeline",
 )

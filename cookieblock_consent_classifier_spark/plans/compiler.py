@@ -202,6 +202,73 @@ def _per_update_builders() -> dict[str, Callable[[dict], list[Column] | Column]]
 
 RANK_FEATURES = {"content_eng_terms", "top_names", "top_domains", "pattern_names", "name_tokens"}
 
+# per-update features whose builders read the fused Arrow kernel
+# struct (__k) — everything content-derived. The complement (flag /
+# expiry features) compiles to pure Catalyst expressions, so a schema
+# that enables none of these skips the kernel projection entirely
+# (zero Python nodes in the plan, not just a pruned one).
+KERNEL_PER_UPDATE = frozenset({
+    "content_length", "compressed_length", "shannon_entropy",
+    "url_encoding", "delimiter_sep", "base64_encoded", "contains_js_obj",
+    "content_eng_terms", "csv_contents", "js_contents",
+    "numerical_content", "hex_content", "alpha_content", "is_identifier",
+    "all_uppercase", "all_lowercase", "empty_content", "boolean_content",
+    "timestamp_content", "date_content", "contains_uuid", "url_content",
+})
+
+
+def native_schema(res: Resources, num_updates: int = 2, num_diffs: int = 2) -> FeatureSchema:
+    """The SQL-expressible subset of ``default_schema``: every feature
+    whose compiled form is pure Catalyst expressions — no Arrow kernel
+    (zlib / unquote / csv.Sniffer / js2py), no Python regex-list UDFs
+    (pattern_names / name_tokens), no difflib gestalt. Declaration
+    order and per-feature semantics are IDENTICAL to the same specs in
+    the full schema (same builders, same widths, same assembler) —
+    this is a sub-schema, not a variant implementation.
+
+    Purpose: the driver's oracled end-to-end pipeline query — the full
+    composition (label filter → per-update exprs → lag window → one
+    entity groupBy with slot pivots + aggregates → broadcast rank
+    joins → ordered sparse assembly → inverse-class weights) has an
+    exact DuckDB twin over this subset, turning the pipeline row from
+    rows-only into a value-exact green gate row (VERDICT r4 item 1).
+    """
+    pe = [
+        FeatureSpec("top_names", vector_size=len(res.top_names)),
+        FeatureSpec("top_domains", vector_size=len(res.top_domains)),
+        FeatureSpec("iab_vendor"),
+        FeatureSpec("domain_period"),
+        FeatureSpec("host_only"),
+        FeatureSpec("third_party"),
+        FeatureSpec("non_root_path"),
+        FeatureSpec("update_count"),
+        FeatureSpec("http_only_changed"),
+        FeatureSpec("secure_changed"),
+        FeatureSpec("same_site_changed"),
+        FeatureSpec("session_changed"),
+        FeatureSpec("content_changed"),
+        FeatureSpec("expiry_changed"),
+        FeatureSpec("levenshtein_total", vector_size=2),
+        FeatureSpec("contlength_total", vector_size=2),
+    ]
+    pu = [
+        FeatureSpec("http_only"),
+        FeatureSpec("secure"),
+        FeatureSpec("session"),
+        FeatureSpec("same_site", vector_size=3),
+        FeatureSpec("expiry"),
+        FeatureSpec("expiry_extra", vector_size=8),
+    ]
+    pd_ = [
+        FeatureSpec("time_difference"),
+        FeatureSpec("lev_distance"),
+    ]
+    assert not any(s.name in KERNEL_PER_UPDATE for s in pu)
+    return FeatureSchema(
+        num_updates=num_updates, num_diffs=num_diffs,
+        per_entity=tuple(pe), per_update=tuple(pu), per_diff=tuple(pd_),
+    )
+
 
 # ---------------------------------------------------------------------------
 # the compiler
@@ -212,9 +279,26 @@ def _sql_in_set(col_name: str, values) -> Column:
     marshals every literal through its own py4j round-trip (the 568
     IAB vendors cost ~0.2s of driver time per compile); a single
     F.expr parse yields the identical Catalyst In/InSet (hash-set
-    probe at runtime), so execution is unchanged."""
+    probe at runtime), so execution is unchanged.
+
+    Backslash escaping is only correct while the default parser mode
+    holds (spark.sql.parser.escapedStringLiterals=false); if a caller's
+    session flipped the legacy conf, string literals parse differently,
+    so fall back to the (slower, parse-mode-independent) Column.isin
+    path rather than silently mis-matching members."""
     if not values:
         return F.lit(False)
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        legacy = spark is not None and (
+            spark.conf.get("spark.sql.parser.escapedStringLiterals", "false") == "true"
+        )
+    except Exception:
+        legacy = False
+    if legacy:
+        return F.col(col_name).isin(*values)
     q = ",".join(
         "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'" for v in values
     )
@@ -291,10 +375,18 @@ def compile_features(
                      if s.name == "delimiter_sep"), 1)
     csv_ms = next((s.args.get("min_seps", 2) for s in schema.per_update
                    if s.name == "csv_contents"), 2)
-    kernel = V.content_kernel_udf(
-        res.content_terms, delim_min_seps=delim_ms, csv_min_seps=csv_ms
-    )
-    staged = df.select("*", kernel(F.col("value")).alias("__k"))
+    need_kernel = any(
+        s.enabled and s.name in KERNEL_PER_UPDATE for s in schema.per_update
+    ) or bool({"complength_total", "entropy_total"} & enabled_pe)
+    if need_kernel:
+        kernel = V.content_kernel_udf(
+            res.content_terms, delim_min_seps=delim_ms, csv_min_seps=csv_ms
+        )
+        staged = df.select("*", kernel(F.col("value")).alias("__k"))
+    else:
+        # purely-native schema (e.g. native_schema): no kernel node at
+        # all — the plan is 100% whole-stage-codegen expressions
+        staged = df
 
     colmap = {
         "value": F.col("value"), "expiry": F.col("expiry"),

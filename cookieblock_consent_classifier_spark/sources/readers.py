@@ -33,6 +33,102 @@ def load_tables(
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
 
 
+# ---------------------------------------------------------------------------
+# events → cookie-update adapter (engine-portable derivations)
+# ---------------------------------------------------------------------------
+# Shared constant maps: the Spark adapter below and the DuckDB oracle
+# twin (__spark_entry__._pipeline_oracle_sql) are BOTH generated from
+# these dicts, so the two sides cannot drift. Every derived column uses
+# only the repo's cross-engine determinism conventions (md5 hex, CASE
+# maps, hex→int64 via conv / CAST('0x'||h)).
+
+# name is constant per entity (keyed on user_id % 7); the four named
+# branches are members of fixture_resources().top_names so the
+# broadcast rank join has real hits.
+EVENTS_NAME_CASES: dict[int, str] = {
+    0: "session-id", 1: "ga_visitor", 2: "track_cookie_3", 3: "consent-pref",
+}
+# domain (user_id % 5) exercises every uniform_domain rule: scheme
+# strip, wwwN strip, leading-dot strip, trailing-slash strip — plus
+# IAB-vendor membership, top-domain rank hits, and first/third party.
+EVENTS_DOMAIN_CASES: dict[int, str] = {
+    0: "www.example-ads.com",            # iab vendor after uniform
+    1: "analytics.example.org",          # vendor + top_domains rank
+    2: ".shop.example.com",              # domain_period + first-party
+    3: "cdn5.example-ads.com",           # top_domains rank, third-party
+    4: "https://www2.social-widgets.io/",  # full uniform_domain chain
+}
+# expiry keyed on md5 nibble 6: the eight named values sit EXACTLY on
+# the reference's bucket boundaries (native.EXPIRY_BUCKETS) so the
+# overlapping-boundary quirk (processor.py:1036-1050) is exercised on
+# real pipeline rows; the other eight nibbles draw a pseudo-random
+# expiry from 12 more md5 hex chars.
+EVENTS_EXPIRY_CASES: dict[str, int] = {
+    "0": 1800, "1": 3600, "2": 43200, "3": 86400,
+    "4": 604800, "5": 2592000, "6": 15552000, "7": 46656000,
+}
+_HALF_NIBBLES = ("0", "1", "2", "3", "4", "5", "6", "7")
+
+
+def cookie_updates_from_events(events: DataFrame) -> DataFrame:
+    """Deterministic adapter: the driver's ``events`` table →
+    COOKIE_UPDATE_SCHEMA long rows (one cookie update per event,
+    entity = user). Used by the oracled end-to-end pipeline query:
+    unlike ``synth.synth_cookie_updates`` (xxhash64-based, Spark-only),
+    every derivation here is reproducible in ANSI SQL, so the full
+    compile_features composition over it can be value-pinned against
+    DuckDB. Flags/expiry come from md5(event_id) hex nibbles; name /
+    domain / path / label are constant per entity (user_id-keyed CASE
+    maps above)."""
+    uid, eid = F.col("user_id"), F.col("event_id")
+    h = F.md5(eid.cast("string"))
+    nib = lambda i: F.substring(h, i, 1)  # noqa: E731
+    flag = lambda i: nib(i).isin(*_HALF_NIBBLES)  # noqa: E731
+
+    name = F
+    for k, v in EVENTS_NAME_CASES.items():
+        name = name.when(F.pmod(uid, F.lit(7)) == k, F.lit(v))
+    name = name.otherwise(F.concat(F.lit("misc_"), uid.cast("string")))
+    domain = F
+    for k, v in EVENTS_DOMAIN_CASES.items():
+        domain = domain.when(F.pmod(uid, F.lit(5)) == k, F.lit(v))
+    domain = domain.otherwise(F.lit(None).cast("string"))
+    expiry = F
+    for k, v in EVENTS_EXPIRY_CASES.items():
+        expiry = expiry.when(nib(6) == k, F.lit(v).cast("long"))
+    expiry = expiry.otherwise(
+        F.pmod(F.conv(F.substring(h, 7, 12), 16, 10).cast("long"), F.lit(60_000_000))
+    )
+    label = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("l"), uid.cast("string"))), 1, 2), 16, 10)
+        .cast("long"),
+        F.lit(5),
+    ).cast("int")
+    same_site = (
+        F.when(nib(5).isin("0", "1", "2", "3", "4"), F.lit("no_restriction"))
+        .when(nib(5).isin("5", "6", "7", "8", "9"), F.lit("lax"))
+        .otherwise(F.lit("strict"))
+    )
+    return events.select(
+        uid.cast("string").alias("entity_id"),
+        F.col("ts"),
+        name.alias("name"),
+        domain.alias("domain"),
+        F.when(F.pmod(uid, F.lit(3)) == 0, F.lit("/app")).otherwise(F.lit("/")).alias("path"),
+        F.lit("shop.example.com").alias("first_party_domain"),
+        label.alias("label"),
+        F.lit(0).alias("cmp_origin"),
+        eid.cast("int").alias("update_idx"),
+        F.col("props").alias("value"),
+        expiry.alias("expiry"),
+        flag(3).alias("session"),
+        flag(1).alias("http_only"),
+        flag(4).alias("host_only"),
+        flag(2).alias("secure"),
+        same_site.alias("same_site"),
+    )
+
+
 def read_entity_updates(spark: SparkSession, paths: Sequence[str], fmt: str = "parquet") -> DataFrame:
     """Multi-path scan; format 'parquet' | 'json' | 'iceberg'.
 
