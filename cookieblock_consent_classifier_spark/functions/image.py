@@ -13,9 +13,11 @@ Codecs:
   stdlib): 8x8 DCT, quality-scaled Annex K quantization, standard
   huffman entropy coding, full marker stream. The decoder reads quant
   and huffman tables from the stream (DQT/DHT), so any standard
-  baseline grayscale JPEG decodes; default quality 90 keeps the
-  decoded pixels ≥ 40 dB PSNR on the synthetic corpus (the input_hint
-  lossy invariant, pinned in tests/test_jpeg.py). No external decoder
+  baseline grayscale JPEG decodes; default quality 95
+  (jpeg.DEFAULT_QUALITY — chosen so the worst case, the mod-256
+  sawtooth corpus, stays ≥ 40 dB PSNR with margin; see the note in
+  jpeg.py) keeps the decoded pixels ≥ 40 dB on the synthetic corpus
+  (the input_hint lossy invariant, pinned in tests/test_jpeg.py). No external decoder
   exists in this container to cross-check against — the structural
   markers are asserted in tests and the table-from-stream design
   keeps the decoder general. Legacy round-1..3 stand-in payloads

@@ -24,13 +24,23 @@ a 112-case sweep incl. the mod-256 sawtooth edges), plus an
 encode-once determinism pin and a non-multiple-of-8 edge-padding
 round trip.
 
-Performance note: the DCT/quant/dequant/IDCT stages are vectorized
-numpy over all blocks at once; the entropy coder is a per-symbol
-Python loop — fine for the thumbnail-scale payloads the synthetic
-corpus carries, and the Arrow batching in image.py amortizes per-call
-overhead. A production 10^12-image run would swap this module for a
-native codec; every interface it exposes (bytes in, uint8 array out)
-stays the same.
+Performance note (round 5, measured interleaved-A/B on the 112-case
+PSNR corpus — BENCH/BASELINE.md §R5): the DCT/quant/dequant/IDCT
+stages are batched BLAS matmuls over all blocks of all images at once
+(the naive einsum contraction was 10x slower), and the ENCODE entropy
+stage is fully vectorized — run lengths by neighbor comparison over
+the nonzero scan, category/amplitude/huffman as table lookups, stream
+positions computed directly (no sort), bit packing as a
+cumsum-over-code-lengths + reduceat byte-lane scatter, byte stuffing
+as a duplicate-and-zero pass (~4x the per-symbol loop on the corpus;
+bit-identical — the loop is retained as _encode_entropy_loop, the
+parity target). encode_jpeg_gray_batch amortizes numpy dispatch over
+an Arrow batch: end-to-end corpus encode is ~4.4x round 4. The
+remaining floor is numpy pass overhead (~25 array passes); the
+DECODER stays an intentionally spec-driven per-symbol walk (tables
+parsed from the stream). A production 10^12-image run would still
+swap this module for a native codec; every interface it exposes
+(bytes in, uint8 array out) stays the same.
 """
 
 from __future__ import annotations
@@ -170,36 +180,53 @@ def _amplitude_bits(v: int) -> tuple[int, int]:
     return v & ((1 << size) - 1), size
 
 
-def encode_jpeg_gray(pixels: np.ndarray, quality: int = DEFAULT_QUALITY) -> bytes:
-    """uint8 (h, w) grayscale → baseline JFIF bytes."""
-    if pixels.ndim != 2:
-        raise ValueError("grayscale codec: expected a 2D array")
-    h, w = pixels.shape
-    if h == 0 or w == 0:
-        raise ValueError("empty image")
-    qt = quality_qt(quality)
+# -- vectorized entropy encoder ---------------------------------------
 
-    # edge-replicate pad to 8x8 multiples
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    img = np.pad(
-        pixels.astype(np.float64) - 128.0,
-        ((0, ph - h), (0, pw - w)), mode="edge",
-    )
-    # all blocks at once: (nby, nbx, 8, 8) → DCT → quantize
-    blocks = img.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
-    coef = np.einsum("ij,abjk,lk->abil", _DCT_T, blocks, _DCT_T)
-    qcoef = np.round(coef / qt.reshape(8, 8)).astype(np.int64)
-    zz = qcoef.reshape(-1, 64)[:, ZIGZAG]  # (nblocks, 64) zigzag order
+_POW2 = 2 ** np.arange(16, dtype=np.int64)
+# bit_length lookup for |v| < 2^15 (largest possible quantized
+# coefficient / DC diff magnitude is ~2x1016): one uint8 gather beats
+# a 16-way binary search per element
+_SIZE_LUT = np.zeros(1 << 15, dtype=np.int64)
+for _b in range(1, 16):
+    _SIZE_LUT[1 << (_b - 1): 1 << _b] = _b
+_DC_CODES = _build_codes(DC_LUM_BITS, DC_LUM_VALS)
+_AC_CODES = _build_codes(AC_LUM_BITS, AC_LUM_VALS)
+_DC_CODE = np.array([_DC_CODES[s][0] for s in range(12)], dtype=np.int64)
+_DC_LEN = np.array([_DC_CODES[s][1] for s in range(12)], dtype=np.int64)
+_AC_CODE = np.full(256, -1, dtype=np.int64)
+_AC_LEN = np.zeros(256, dtype=np.int64)
+for _s, (_c, _l) in _AC_CODES.items():
+    _AC_CODE[_s] = _c
+    _AC_LEN[_s] = _l
 
-    dc_codes = _build_codes(DC_LUM_BITS, DC_LUM_VALS)
-    ac_codes = _build_codes(AC_LUM_BITS, AC_LUM_VALS)
+
+def _vec_size(a: np.ndarray) -> np.ndarray:
+    """bit_length(|v|) per element (amplitude category, F.1.2.1.2) —
+    exact integer table lookup (no float log2)."""
+    ab = np.abs(a)
+    if ab.size and int(ab.max()) >= _SIZE_LUT.size:
+        raise ValueError("coefficient magnitude out of baseline range")
+    return _SIZE_LUT[ab]
+
+
+def _vec_amp(v: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Ones-complement amplitude bits (vectorized _amplitude_bits)."""
+    return np.where(v < 0, v + (1 << size) - 1, v) & ((1 << size) - 1)
+
+
+def _encode_entropy_loop(zz: np.ndarray) -> bytes:
+    """Spec-literal per-symbol twin of _encode_entropy (the original
+    T.81 F.1.2 sequential walk). Retained as the parity target: the
+    vectorized coder must be BIT-IDENTICAL to this on every input
+    (tests/test_jpeg.py round-trips + hypothesis fuzz + direct
+    byte-equality). Not used on the hot path."""
     bw = _BitWriter()
     prev_dc = 0
     for row in zz:
         diff = int(row[0]) - prev_dc
         prev_dc = int(row[0])
         bits, size = _amplitude_bits(diff)
-        c, ln = dc_codes[size]
+        c, ln = _DC_CODES[size]
         bw.write(c, ln)
         if size:
             bw.write(bits, size)
@@ -212,19 +239,196 @@ def encode_jpeg_gray(pixels: np.ndarray, quality: int = DEFAULT_QUALITY) -> byte
                 run += 1
                 continue
             while run > 15:
-                c, ln = ac_codes[0xF0]  # ZRL: 16 zeros
+                c, ln = _AC_CODES[0xF0]  # ZRL: 16 zeros
                 bw.write(c, ln)
                 run -= 16
             bits, size = _amplitude_bits(v)
-            c, ln = ac_codes[(run << 4) | size]
+            c, ln = _AC_CODES[(run << 4) | size]
             bw.write(c, ln)
             bw.write(bits, size)
             run = 0
         if last < 63:
-            c, ln = ac_codes[0x00]  # EOB
+            c, ln = _AC_CODES[0x00]  # EOB
             bw.write(c, ln)
     bw.flush()
+    return bytes(bw.out)
 
+
+def _encode_entropy(zz: np.ndarray) -> bytes:
+    """(nblocks, 64) zigzag-ordered quantized coefficients of ONE image
+    → its entropy-coded segment (stuffed bytes, 1-fill padded)."""
+    return _encode_entropy_multi(zz, np.array([zz.shape[0]]))[0]
+
+
+def _encode_entropy_multi(zz: np.ndarray, img_blocks: np.ndarray) -> list[bytes]:
+    """Vectorized entropy coder over the concatenated blocks of MANY
+    images at once — ``img_blocks[i]`` blocks belong to image i, in
+    order. Returns one independent entropy-coded segment per image
+    (DC prediction resets at every image boundary; padding, byte
+    stuffing, and stream bytes are per image — each output is exactly
+    what the single-image coder would emit). Batching exists because
+    the single-image call is dominated by fixed numpy-dispatch
+    overhead at thumbnail sizes; one call over an Arrow batch of
+    images amortizes it (module docstring, Performance note).
+
+    Mechanics, fully vectorized:
+
+    - runs of zeros before each nonzero AC coefficient come from
+      comparing each nonzero's zigzag position with its predecessor's
+      (same block → previous nonzero, block start otherwise) over the
+      row-major np.nonzero order — no full-grid pass;
+    - every emitted unit (DC size code, DC amplitude, ZRL repeats, AC
+      run/size code, AC amplitude, EOB) gets its stream position
+      computed DIRECTLY — per-block unit counts (2 DC units + ZRLs +
+      2 per nonzero + EOB) cumsum into block bases, each nonzero's
+      within-block offset falls out of a prefix sum of its unit
+      weight — and codes/lengths scatter into preallocated arrays, no
+      sort anywhere;
+    - bit packing: bit offsets from one cumsum over code lengths; each
+      ≤16-bit code shifts into a 32-bit window anchored at its start
+      byte, and the four byte lanes scatter-add via np.bincount —
+      units share bytes but never bits, so byte-wise addition has no
+      carries; byte stuffing doubles 0xFF slots and leaves the
+      inserted slot 0x00.
+
+    Bit-identical to T.81 F.1.2 sequential encoding (the retired
+    per-symbol loop); pinned by the round-trip + fuzz suites.
+    """
+    nb = zz.shape[0]
+    img_blocks = np.asarray(img_blocks, dtype=np.int64)
+    nimg = len(img_blocks)
+    img_first = np.cumsum(img_blocks) - img_blocks  # first block per image
+
+    # DC: differential, category, amplitude (F.1.2.1); the predictor
+    # resets to 0 at each image's first block
+    dc = zz[:, 0]
+    prev_dc = np.concatenate(([0], dc[:-1]))
+    prev_dc[img_first] = 0
+    diff = dc - prev_dc
+    dsz = _vec_size(diff)
+    if dsz.max(initial=0) > 11:
+        raise ValueError("DC difference category > 11")
+    damp = _vec_amp(diff, dsz)
+
+    # AC: run lengths by neighbor comparison over the row-major
+    # nonzero order (F.1.2.2) — previous nonzero position if the
+    # predecessor is in the same block, else the block start
+    # scan the full 64-wide grid (shift/mask beats //63 div/mod), then
+    # drop the DC column
+    flat = np.ascontiguousarray(zz).ravel()
+    nzi = np.flatnonzero(flat)
+    nzi = nzi[(nzi & 63) != 0]
+    v = flat[nzi]
+    bi = nzi >> 6
+    k = nzi & 63
+    prev_k = np.zeros(len(k), dtype=np.int64)
+    prev_k[1:] = np.where(bi[1:] == bi[:-1], k[:-1], 0)
+    run = k - prev_k - 1
+    nzrl = run >> 4  # ZRL (16-zero) symbols before this coefficient
+    sz = _vec_size(v)
+    sym = ((run & 15) << 4) | sz
+    if np.any(_AC_CODE[sym] < 0):
+        raise ValueError("AC run/size symbol outside the standard table")
+    amp = _vec_amp(v, sz)
+    lastk = np.zeros(nb, dtype=np.int64)
+    lastk[bi] = k  # duplicate-index scatter keeps the LAST (max) k
+
+    # direct stream positions — no sort. Unit weight per nonzero =
+    # nzrl + 2 (ZRLs, then sym, then amp); per block: 2 DC units,
+    # the block's nonzero units, then EOB if emitted.
+    eob_flag = (lastk < 63).astype(np.int64)
+    w_nz = nzrl + 2
+    cnt_nz = np.bincount(bi, minlength=nb)
+    sum_zrl = np.bincount(bi, weights=nzrl, minlength=nb).astype(np.int64)
+    t_blk = 2 + 2 * cnt_nz + sum_zrl + eob_flag  # units per block
+    blk_u0 = np.cumsum(t_blk) - t_blk            # unit base per block
+    n_units = int(blk_u0[-1] + t_blk[-1]) if nb else 0
+    g_nz = np.cumsum(w_nz) - w_nz                # global nz-unit prefix
+    base_w = np.cumsum(2 * cnt_nz + sum_zrl)     # nz units in blocks <= b
+    base_w = base_w - (2 * cnt_nz + sum_zrl)     # ... in blocks < b
+    sym_pos = blk_u0[bi] + 2 + (g_nz - base_w[bi]) + nzrl
+    zpos = np.repeat(sym_pos - nzrl, nzrl) + (
+        np.arange(int(nzrl.sum()), dtype=np.int64)
+        - np.repeat(np.cumsum(nzrl) - nzrl, nzrl)
+    )
+    codes = np.empty(n_units, dtype=np.int64)
+    lens = np.empty(n_units, dtype=np.int64)
+    codes[blk_u0] = _DC_CODE[dsz]
+    lens[blk_u0] = _DC_LEN[dsz]
+    codes[blk_u0 + 1] = damp
+    lens[blk_u0 + 1] = dsz
+    codes[zpos] = _AC_CODES[0xF0][0]
+    lens[zpos] = _AC_CODES[0xF0][1]
+    codes[sym_pos] = _AC_CODE[sym]
+    lens[sym_pos] = _AC_LEN[sym]
+    codes[sym_pos + 1] = amp
+    lens[sym_pos + 1] = sz
+    eob_pos = (blk_u0 + t_blk - 1)[eob_flag == 1]
+    codes[eob_pos] = _AC_CODES[0x00][0]
+    lens[eob_pos] = _AC_CODES[0x00][1]
+
+    # per-image bit layout: every image's stream starts byte-aligned;
+    # image i's units span [blk_u0[img_first[i]], next image's base)
+    g = np.cumsum(lens) - lens  # global exclusive bit prefix
+    total = int(lens.sum())
+    base_g = g[blk_u0[img_first]]
+    img_bits = np.concatenate([base_g[1:], [total]]) - base_g
+    img_bytes = (img_bits + 7) >> 3
+    byte_base = np.cumsum(img_bytes) - img_bytes
+    units_per_img = np.diff(np.concatenate([blk_u0[img_first], [n_units]]))
+    shift_img = (byte_base << 3) - base_g  # bit rebase per image
+    starts = g + np.repeat(shift_img, units_per_img)
+
+    # bit packing without per-bit arrays: every code (<=16 bits) shifts
+    # into a 32-bit big-endian window anchored at its start byte.
+    # Start bytes are NON-DECREASING (starts are increasing), so each
+    # byte lane reduces contiguous runs via np.add.reduceat and
+    # scatters to unique byte targets — integer math throughout (units
+    # share bytes but never bits → byte-wise addition has no carries).
+    val = codes << (32 - (starts & 7) - lens)
+    b0 = starts >> 3
+    nbytes = int(img_bytes.sum())
+    seg = np.flatnonzero(np.diff(b0, prepend=-1))  # run starts in b0
+    ub = b0[seg]  # unique target bytes, ascending
+    acc = np.zeros(nbytes + 4, dtype=np.int64)
+    for lane in range(4):
+        acc[ub + lane] += np.add.reduceat((val >> (8 * (3 - lane))) & 0xFF, seg)
+    packed = acc[:nbytes].astype(np.uint8)
+    # per-image 1-fill padding (F.1.2.3)
+    pad = (img_bytes << 3) - img_bits
+    packed[byte_base + img_bytes - 1] |= ((1 << pad) - 1).astype(np.uint8)
+
+    # byte stuffing (B.1.1.5): 0xFF → 0xFF 0x00
+    counts = np.where(packed == 0xFF, 2, 1)
+    out = np.zeros(int(counts.sum()), dtype=np.uint8)
+    out[np.cumsum(counts) - counts] = packed
+    # stuffed offset of original byte i = i + (#0xFF before i)
+    off = np.concatenate(([0], np.cumsum(packed == 0xFF)))
+    lo = byte_base + off[byte_base]
+    hi = byte_base + img_bytes + off[byte_base + img_bytes]
+    return [out[a:b].tobytes() for a, b in zip(lo, hi)]
+
+
+def _level_blocks(pixels: np.ndarray) -> np.ndarray:
+    """uint8 (h, w) → level-shifted 8x8 blocks (nblocks, 8, 8),
+    edge-replicate padded to 8-multiples, row-major block order."""
+    if pixels.ndim != 2:
+        raise ValueError("grayscale codec: expected a 2D array")
+    h, w = pixels.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    img = np.pad(
+        pixels.astype(np.float64) - 128.0,
+        ((0, ph - h), (0, pw - w)), mode="edge",
+    )
+    return (
+        img.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _frame_jfif(scan: bytes, h: int, w: int, qt: np.ndarray) -> bytes:
+    """Wrap one entropy-coded segment in the JFIF marker stream."""
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
@@ -239,9 +443,42 @@ def encode_jpeg_gray(pixels: np.ndarray, quality: int = DEFAULT_QUALITY) -> byte
     out += dht(0x00, DC_LUM_BITS, DC_LUM_VALS)
     out += dht(0x10, AC_LUM_BITS, AC_LUM_VALS)
     out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
-    out += bw.out
+    out += scan
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def encode_jpeg_gray_batch(
+    images: list[np.ndarray], quality: int = DEFAULT_QUALITY
+) -> list[bytes]:
+    """MANY uint8 (h, w) grayscale images → baseline JFIF bytes each,
+    in ONE vectorized pass: the 8x8 blocks of every image concatenate
+    into a single batched-matmul DCT/quantize and one entropy-coder call
+    (_encode_entropy_multi keeps the streams independent). This is the
+    Arrow-batch shape — per-image numpy dispatch overhead dominates
+    thumbnail-scale encodes, so batching is where the >=10x entropy
+    speedup actually lands end-to-end (BENCH/BASELINE.md §R5).
+    Byte-identical to per-image encode_jpeg_gray calls."""
+    if not images:
+        return []
+    qt = quality_qt(quality)
+    blocks = [_level_blocks(px) for px in images]
+    counts = np.array([len(b) for b in blocks], dtype=np.int64)
+    allb = np.concatenate(blocks)
+    # batched matmul (BLAS) — ~10x the equivalent einsum contraction
+    coef = (_DCT_T @ allb) @ _DCT_T.T
+    qcoef = np.round(coef / qt.reshape(8, 8)).astype(np.int64)
+    zz = qcoef.reshape(-1, 64)[:, ZIGZAG]
+    scans = _encode_entropy_multi(zz, counts)
+    return [
+        _frame_jfif(scan, px.shape[0], px.shape[1], qt)
+        for scan, px in zip(scans, images)
+    ]
+
+
+def encode_jpeg_gray(pixels: np.ndarray, quality: int = DEFAULT_QUALITY) -> bytes:
+    """uint8 (h, w) grayscale → baseline JFIF bytes."""
+    return encode_jpeg_gray_batch([pixels], quality)[0]
 
 
 class _BitReader:
@@ -396,6 +633,6 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     coef = np.zeros((nblocks, 64), dtype=np.int64)
     coef[:, ZIGZAG] = zz  # un-zigzag
     coef = coef.reshape(nby, nbx, 8, 8) * qt.reshape(8, 8)
-    spatial = np.einsum("ji,abjk,kl->abil", _DCT_T, coef.astype(np.float64), _DCT_T)
+    spatial = (_DCT_T.T @ coef.astype(np.float64)) @ _DCT_T  # batched IDCT
     img = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8) + 128.0
     return np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]
