@@ -33,6 +33,18 @@ are localCheckpoint'ed to cut the iterative lineage (the
 connected-components pattern). Driver memory holds histograms only:
 O(nodes · features · bins). Rounds x classes x depth jobs total —
 the standard distributed-GBDT shape.
+
+Determinism (repo discipline, SURVEY §5): training is RUN-DETERMINISTIC
+for bin_method="width". Every row-local value (softmax margins,
+gradients) is a fixed expression of the input row; the only
+order-sensitive step — the distributed g/h sums — is made canonical by
+aggregating in DECIMAL(38,18) (exact, commutative; double sums vary in
+the last ulps with partition order) and converting to float once on
+the driver. Split selection then ties off on (gain rounded to 1e-9,
+lowest fidx, lowest bin), so two runs over the same input emit
+byte-identical dumps (tests/test_gbdt.py pins this).
+bin_method="quantile" uses percentile_approx, whose sketch-merge order
+is runtime-dependent — usable, but not byte-pinned.
 """
 
 from __future__ import annotations
@@ -153,8 +165,13 @@ def train_gbdt(
             pc = F.element_at("probs", c + 1)
             g = (pc - F.when(F.col("label") == c, 1.0).otherwise(0.0)) * F.col("w")
             h = pc * (F.lit(1.0) - pc) * F.col("w")
-            tree_df = rows.withColumn("g", g).withColumn("h", h).withColumn(
-                "node", F.lit(0)
+            # DECIMAL g/h: the distributed sums below must be
+            # order-insensitive or split gains flip on near-ties
+            # between runs (see module docstring, Determinism)
+            tree_df = (
+                rows.withColumn("g", g.cast("decimal(38,18)"))
+                .withColumn("h", h.cast("decimal(38,18)"))
+                .withColumn("node", F.lit(0))
             )
 
             splits: dict[int, tuple[int, float]] = {}  # node → (fidx, cond)
@@ -251,6 +268,12 @@ def _bin_from_edges_expr(edges: dict[int, list[float]]):
     map literal (fidx → edges array) + a HOF aggregate — a per-feature
     CASE chain here would hit the giant-CaseWhen codegen cliff at real
     feature counts (BENCH/BASELINE.md §R4)."""
+    if not edges:
+        # degenerate input (no nonzero feature values anywhere): every
+        # value lands in bin 0 and no split is ever found — an empty
+        # F.create_map() would type as map<string,string> and fail
+        # try_element_at(map, int) analysis
+        return F.lit(0)
     pairs = []
     for fidx, es in edges.items():
         pairs += [F.lit(int(fidx)), F.array(*[F.lit(float(e)) for e in es])]
@@ -269,7 +292,12 @@ def _bin_from_edges_expr(edges: dict[int, list[float]]):
 def _best_splits(frontier, feats, edges, hist, totals, p, np):
     """Argmax-gain split per frontier node from the collected
     histograms; missing mass (node total − present sums) rides LEFT
-    (the scorer's missing→yes semantics)."""
+    (the scorer's missing→yes semantics).
+
+    Stable selection: gains are rounded to 1e-9 before comparison and
+    ties resolve to the LOWEST (fidx, bin) — combined with the exact
+    decimal histogram sums this makes the chosen split a pure function
+    of the input, never of aggregation order."""
     out: dict[int, tuple[int, float]] = {}
     for n in frontier:
         if n not in totals:
@@ -279,7 +307,7 @@ def _best_splits(frontier, feats, edges, hist, totals, p, np):
             continue
         base = gt * gt / (ht + p.reg_lambda)
         best = (p.min_gain, None, None)
-        for fidx in feats:
+        for fidx in feats:  # ascending fidx: first strict improvement wins
             es = edges[fidx]
             nb = len(es) + 1
             sg = np.zeros(nb)
@@ -302,8 +330,9 @@ def _best_splits(frontier, feats, edges, hist, totals, p, np):
                 gl * gl / (hl + p.reg_lambda) + gr * gr / (hr + p.reg_lambda) - base,
                 -np.inf,
             )
-            t = int(np.argmax(gain))
-            if gain[t] > best[0]:
+            gain = np.round(gain, 9)  # tolerance: equal-to-1e-9 is a tie
+            t = int(np.argmax(gain))  # argmax → lowest bin among ties
+            if gain[t] > best[0]:  # strict → lowest fidx among ties
                 # condition = lower edge of the first right-side bin
                 best = (float(gain[t]), fidx, float(es[t]))
         if best[1] is not None:

@@ -202,14 +202,19 @@ def _score_batch(
     num_classes = len(class_forests)
     out = np.zeros((n, num_classes), dtype=np.float64)
     for r in range(n):
-        # skip NULL/NaN elements: a null value is a MISSING feature in
-        # both formats (expression path: try_element_at NULL →
-        # coalesce 0.0 / isNull default branch); keeping them would
-        # crash the < comparison on None
+        # NaN is KEPT: the reference's dense walk and the compiled
+        # expression path both send NaN RIGHT (NaN==0.0 false,
+        # NaN<cond false), so dropping it (pre-round-5 behavior) was a
+        # silent kernel-vs-expression divergence (round-4 ADVICE item;
+        # NaN parity is fuzz-pinned in tests/test_xgb.py). None guards
+        # a list-typed row carrying a genuine NULL element — only
+        # reachable for hand-built input, since the assembler filters
+        # NULL values and the Arrow float64 representation surfaces
+        # in-array NULLs as NaN anyway.
         fmap = {
             int(i): v
             for i, v in zip(idx_arrays[r], val_arrays[r])
-            if v is not None and v == v
+            if v is not None
         }
         for c, forest in enumerate(class_forests):
             s = 0.0

@@ -248,25 +248,77 @@ def test_margin_sql_matches_spark_exactly(spark, sparse_df, rows):
             assert g[f"m{c}"] == w[c + 1], (g, w)
 
 
-def test_null_values_are_missing_on_both_paths(spark):
-    """A NULL element inside the values array is a MISSING feature:
-    full format → 0.0→yes path, sparse format → default branch. The
-    kernel must agree with the expression path (it used to crash on
-    None < float)."""
+def test_nan_values_route_right_on_all_paths(spark):
+    """NaN feature values take the RIGHT (no) branch everywhere — the
+    reference's dense walk, the compiled expression path, and the
+    Arrow kernel (NaN==0.0 and NaN<cond are both false). The kernel
+    used to DROP NaN (treating it as missing→left), a silent
+    divergence from the other two paths (round-4 ADVICE item 1)."""
+    nan = float("nan")
     rows = [
-        (0, [0, 1], [None, 0.9]),
-        (1, [0], [None]),
-        (2, [0, 2], [0.3, None]),
+        (0, [0, 1], [nan, 0.9]),
+        (1, [0], [nan]),
+        (2, [0, 2], [0.3, nan]),
+        (3, [1, 3], [nan, nan]),
     ]
     df = spark.createDataFrame(
         rows, "entity_id long, indices array<int>, values array<double>"
     )
+    # full format: engine expr == engine kernel == REAL reference dense walk
+    ref_probs, ref_dec = _reference_full(rows)
+    expr_probs, expr_dec = _engine_scored(df, xgb.dump_score_fn(xgb.fixture_dump()))
+    kern_probs, kern_dec = _engine_scored(
+        df, xgb.dump_score_fn(xgb.fixture_dump(), max_expr_nodes=0)
+    )
+    np.testing.assert_allclose(expr_probs, ref_probs, rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(kern_probs, ref_probs, rtol=1e-12, atol=1e-15)
+    np.testing.assert_array_equal(expr_dec, ref_dec)
+    np.testing.assert_array_equal(kern_dec, ref_dec)
+    # sparse format: expr == kernel (NaN fails `v < c` → right branch,
+    # NOT the recorded default branch)
+    sp = sparse_fixture()
+    e_p, _ = _engine_scored(df, xgb.dump_score_fn(sp, fmt="sparse"))
+    k_p, _ = _engine_scored(df, xgb.dump_score_fn(sp, fmt="sparse", max_expr_nodes=0))
+    np.testing.assert_allclose(k_p, e_p, rtol=1e-12, atol=1e-15)
+
+
+def test_null_values_expression_missing_kernel_nan_collapse(spark):
+    """A genuine NULL element is a MISSING feature on the expression
+    path (full: coalesce-0.0→yes; sparse: recorded default branch).
+    The Arrow float64 representation COLLAPSES in-array NULL to NaN,
+    so the kernel necessarily applies NaN→right semantics to it — a
+    documented representational limit, unreachable for engine output
+    (assemble_sparse filters NULL values before they enter a row)."""
+    null_rows = [
+        (0, [0, 1], [None, 0.9]),
+        (1, [0], [None]),
+        (2, [0, 2], [0.3, None]),
+    ]
+    missing_rows = [  # same rows with the NULL entry simply absent
+        (0, [1], [0.9]),
+        (1, [], []),
+        (2, [0], [0.3]),
+    ]
+    nan_rows = [
+        (0, [0, 1], [float("nan"), 0.9]),
+        (1, [0], [float("nan")]),
+        (2, [0, 2], [0.3, float("nan")]),
+    ]
+    ddl = "entity_id long, indices array<int>, values array<double>"
+    df_null = spark.createDataFrame(null_rows, ddl)
+    df_missing = spark.createDataFrame(missing_rows, ddl)
+    df_nan = spark.createDataFrame(nan_rows, ddl)
     for fmt, dump in (("full", xgb.fixture_dump()), ("sparse", sparse_fixture())):
-        expr_probs, _ = _engine_scored(df, xgb.dump_score_fn(dump, fmt=fmt))
-        kern_probs, _ = _engine_scored(
-            df, xgb.dump_score_fn(dump, fmt=fmt, max_expr_nodes=0)
+        expr_null, _ = _engine_scored(df_null, xgb.dump_score_fn(dump, fmt=fmt))
+        expr_missing, _ = _engine_scored(df_missing, xgb.dump_score_fn(dump, fmt=fmt))
+        np.testing.assert_allclose(expr_null, expr_missing, rtol=1e-12, atol=1e-15)
+        kern_null, _ = _engine_scored(
+            df_null, xgb.dump_score_fn(dump, fmt=fmt, max_expr_nodes=0)
         )
-        np.testing.assert_allclose(kern_probs, expr_probs, rtol=1e-12, atol=1e-15)
+        kern_nan, _ = _engine_scored(
+            df_nan, xgb.dump_score_fn(dump, fmt=fmt, max_expr_nodes=0)
+        )
+        np.testing.assert_allclose(kern_null, kern_nan, rtol=1e-12, atol=1e-15)
 
 
 def test_sparse_format_conversion_scores_identically(spark):
