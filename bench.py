@@ -71,11 +71,29 @@ BENCH_QUERIES = [
 ]
 
 REPEATS = 3
+# a 1-min loadavg above this means another tenant is burning cores and
+# wall-times are untrustworthy; queries re-run (bounded) and entries
+# are FLAGGED in the artifact either way (VERDICT r4 item 1)
+LOADAVG_CLEAN = 4.0
+EXTRA_REPEATS = 3  # extra contaminated-retry budget per query
+IDLE_WAIT_SEC = 90  # max wait for the host to go quiet before a section
 
 
 def _loadavg1() -> float:
     with open("/proc/loadavg") as fd:
         return float(fd.read().split()[0])
+
+
+def _wait_idle(max_wait: float = IDLE_WAIT_SEC) -> float:
+    """Poll until the 1-min loadavg drops below LOADAVG_CLEAN or the
+    budget runs out (the host is shared; waiting a minute routinely
+    saves a 3x-inflated measurement). Returns the final loadavg."""
+    deadline = time.monotonic() + max_wait
+    la = _loadavg1()
+    while la > LOADAVG_CLEAN and time.monotonic() < deadline:
+        time.sleep(5.0)
+        la = _loadavg1()
+    return la
 
 
 def _noop(df) -> None:
@@ -113,15 +131,29 @@ def _warm(spark, cpus: int, sf_dir: str) -> None:
 
 
 def _bench_suite(spark, sf_dir: str):
-    """min-of-REPEATS construct/exec per query, fresh plan each run."""
+    """min-of-REPEATS construct/exec per query, fresh plan each run.
+    Contention handling (VERDICT r4 item 1): a rep that starts under
+    1-min loadavg > LOADAVG_CLEAN doesn't count toward the clean-rep
+    quota — up to EXTRA_REPEATS retries chase a quiet window — and the
+    per-query artifact records the MINIMUM loadavg any rep saw plus a
+    `contaminated` list naming queries that never got a clean rep."""
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     construct: dict[str, float] = {}
     loadavg: dict[str, float] = {}
+    contaminated: list[str] = []
     for name in BENCH_QUERIES:
-        loadavg[name] = _loadavg1()
         best_c = best_e = float("inf")
-        for _ in range(REPEATS):
+        best_la = float("inf")
+        clean = extra = 0
+        while clean < REPEATS and clean + extra < REPEATS + EXTRA_REPEATS:
+            la = _loadavg1()
+            best_la = min(best_la, la)
+            if la > LOADAVG_CLEAN:
+                extra += 1
+                time.sleep(2.0)
+            else:
+                clean += 1
             # fresh plan every run: cached DataFrames reuse shuffle
             # files across writes and under-report exec
             entrymod._PLAN_CACHE.clear()
@@ -132,9 +164,12 @@ def _bench_suite(spark, sf_dir: str):
             t2 = time.perf_counter()
             best_c = min(best_c, t1 - t0)
             best_e = min(best_e, t2 - t1)
+        if clean == 0:
+            contaminated.append(name)
         construct[name] = round(best_c, 3)
         timings[name] = round(best_e, 3)
-    return timings, construct, loadavg
+        loadavg[name] = round(best_la, 2)
+    return timings, construct, loadavg, contaminated
 
 
 def _scaled_pipeline_plan(spark, sf: float, fullwidth: bool):
@@ -169,17 +204,20 @@ def _scaled_pipeline_plan(spark, sf: float, fullwidth: bool):
     return wide, n_entities * 3
 
 
-def _bench_scaled_pipelines(spark, sf: float):
+def _bench_scaled_pipelines(spark, sf: float, sf_mult: float = 1.0, reps: int = 2):
+    """Throughput of the compile_features plans over sf-proportional
+    input (x ``sf_mult``). Waits for an idle window per entry and
+    flags any entry that ran hot anyway."""
     out = {}
     for label, fullwidth in (
         ("cookie_feature_pipeline", False),
         ("cookie_pipeline_fullwidth", True),
     ):
+        la = _wait_idle()
         best = float("inf")
         rows = 0
-        la = _loadavg1()
-        for _ in range(2):
-            wide, rows = _scaled_pipeline_plan(spark, sf, fullwidth)
+        for _ in range(reps):
+            wide, rows = _scaled_pipeline_plan(spark, sf * sf_mult, fullwidth)
             t0 = time.perf_counter()
             _noop(wide)
             best = min(best, time.perf_counter() - t0)
@@ -187,7 +225,8 @@ def _bench_scaled_pipelines(spark, sf: float):
             "input_rows": rows,
             "sec": round(best, 3),
             "rows_per_sec": round(rows / best, 1) if best > 0 else 0.0,
-            "loadavg": la,
+            "loadavg": round(la, 2),
+            "contaminated": la > LOADAVG_CLEAN,
         }
     return out
 
@@ -202,7 +241,7 @@ def main() -> None:
     _warm(spark, int(cpus), sf_dir)
 
     t_all = time.perf_counter()
-    timings, construct, loadavg = _bench_suite(spark, sf_dir)
+    timings, construct, loadavg, contaminated = _bench_suite(spark, sf_dir)
     total_sec = time.perf_counter() - t_all
 
     # flagship throughput: entity-timestamp rows materialized per sec
@@ -211,6 +250,7 @@ def main() -> None:
     # shuffle files and measure only post-shuffle stages).
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     n_entity_ts = ev.count()
+    flagship_la = _wait_idle()
     flagship_runs = []
     for _ in range(3):
         flagship = _flagship_at(spark, sf_dir)
@@ -221,6 +261,9 @@ def main() -> None:
     throughput = n_entity_ts / flagship_sec if flagship_sec > 0 else 0.0
 
     pipeline_scaled = _bench_scaled_pipelines(spark, sf)
+    # one 10x-rows run per round (VERDICT r4 item 7): long runs
+    # amortize contention spikes the way the 600k-row scaling runs do
+    pipeline_scaled_sf1 = _bench_scaled_pipelines(spark, sf, sf_mult=10.0, reps=1)
 
     print(
         json.dumps(
@@ -231,10 +274,13 @@ def main() -> None:
                 "queries": timings,
                 "construct": construct,
                 "loadavg": loadavg,
+                "contaminated": contaminated,
                 "pipeline_scaled": pipeline_scaled,
+                "pipeline_scaled_sf1": pipeline_scaled_sf1,
                 "total_sec": round(total_sec, 3),
                 "flagship_sec": round(flagship_sec, 3),
                 "flagship_runs": flagship_runs,
+                "flagship_loadavg": round(flagship_la, 2),
                 "input_rows": n_entity_ts,
                 "cpus": int(cpus),
                 "sf": sf,

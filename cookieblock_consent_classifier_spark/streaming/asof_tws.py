@@ -135,13 +135,17 @@ class AsofStateProcessor(StatefulProcessor):
                             st[1 + i] = v
                 else:
                     fact_us = int(pd.Timestamp(rd["__ets"]).value // 1000)
+                    # late-fact leakage guard (same as streaming/asof
+                    # .apply_asof_state): stored dim state newer than
+                    # the fact's own event time must never be served
+                    late = st[0] is not None and st[0] > fact_us
                     stale = (
                         self.tol_us is not None
                         and (st[0] is None or fact_us - st[0] > self.tol_us)
                     )
                     o = {c: rd[c] for c in self.fact_names}
                     for i, p in enumerate(self.payload):
-                        o[f"{p}{self.suffix}"] = None if stale else st[1 + i]
+                        o[f"{p}{self.suffix}"] = None if (stale or late) else st[1 + i]
                     outs.append(o)
         self.dim.update(tuple(st))
         if outs:

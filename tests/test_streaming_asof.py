@@ -440,3 +440,77 @@ def test_streaming_asof_tolerance_matches_batch(spark, tmp_path):
         for r in spark.table("asof_tol_stream").collect()
     }
     assert got == want
+
+
+def test_late_fact_never_leaks_future_state_and_is_counted(spark, tmp_path):
+    """VERDICT r4 item 6, corrected: Spark does NOT watermark-filter
+    applyInPandasWithState input (this test proves it — the late fact
+    REACHES the operator), so the round-4 'watermark silently drops
+    late rows' caveat was wrong, and the naive behavior would have
+    served a day-0 fact the dim state from day 10 — temporal leakage.
+    The leakage guard emits NULL for a fact older than its stored dim
+    state and counts it in the late_facts_nulled accumulator; the
+    in-window fact from the same batch still gets served."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField as SF, StructType as ST, TimestampType,
+    )
+
+    from cookieblock_consent_classifier_spark.streaming.asof import (
+        watermark_drop_counts,
+    )
+
+    fact_schema = ST([SF("event_id", LongType()), SF("ts", TimestampType()), SF("user_id", LongType())])
+    union_schema = ST(list(fact_schema.fields) + [
+        SF("__tag", IntegerType()), SF("__ets", TimestampType()), SF("__dim_v", LongType()),
+    ])
+    d0 = dt.datetime(2026, 1, 1)
+
+    def day(n):
+        return d0 + dt.timedelta(days=n)
+
+    batches = [
+        # 1: dim+fact at day 10 → watermark advances to day 10
+        [(None, None, 7, 0, day(10), 5), (300, day(10), 7, 1, day(10), None)],
+        # 2: one LATE fact (day 0, older than the stored dim state)
+        #    + one in-window fact (day 11)
+        [(301, day(0), 7, 1, day(0), None), (302, day(11), 7, 1, day(11), None)],
+    ]
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        f = str(tmp_path / f"lb{i}")
+        spark.createDataFrame(rows, union_schema).coalesce(1).write.parquet(f)
+        [part] = [x for x in os.listdir(f) if x.startswith("part-")]
+        dst = os.path.join(src, f"{i}-{part}")
+        os.rename(os.path.join(f, part), dst)
+        os.utime(dst, (time.time() + i * 10, time.time() + i * 10))
+
+    stream = (
+        spark.readStream.schema(union_schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withWatermark("__ets", "0 seconds")
+    )
+    metrics: dict = {}
+    out = apply_asof_state(
+        stream, fact_schema, [union_schema["__dim_v"]],
+        on="user_id", payload=["v"], suffix="_asof", state_ttl="30 days",
+        metrics=metrics,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("asof_lates")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180), "streaming query timed out"
+
+    got = {r["event_id"]: r["v_asof"] for r in spark.table("asof_lates").collect()}
+    # the late fact reached the operator (NOT dropped) but got NULL,
+    # never the day-10 dim state from its own future
+    assert 301 in got and got[301] is None, got
+    assert got[300] == 5 and got[302] == 5
+    assert metrics["late_facts_nulled"].value == 1
+    # Spark's own drop metric confirms nothing was engine-filtered
+    stats = watermark_drop_counts(q)
+    assert stats["batches_observed"] >= 2
+    assert stats["rows_dropped_by_watermark"] == 0, stats
