@@ -179,6 +179,27 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     raise NotImplementedError(f"codec for fmt={fmt!r} not available in this container")
 
 
+def encode_image_batch(pixels_list: list, fmts: list) -> list:
+    """Arrow-batch encode path: all jpeg images in the batch encode in
+    ONE vectorized pass (jpeg.encode_jpeg_gray_batch — one DCT matmul
+    + one entropy-coder call across every block of every image;
+    byte-identical to per-image encode_image). PNG and other formats
+    stay per-image: their cost is zlib, not numpy dispatch. This is
+    the call shape every encoding pandas UDF should use."""
+    out: list = [None] * len(pixels_list)
+    jpeg_idx = [i for i, f in enumerate(fmts) if f == "jpeg"]
+    if jpeg_idx:
+        from cookieblock_consent_classifier_spark.functions import jpeg  # noqa: PLC0415
+
+        encs = jpeg.encode_jpeg_gray_batch([pixels_list[i] for i in jpeg_idx])
+        for i, e in zip(jpeg_idx, encs):
+            out[i] = e
+    for i, (px, f) in enumerate(zip(pixels_list, fmts)):
+        if out[i] is None:
+            out[i] = encode_image(px, f)
+    return out
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     if payload[:8] == _PNG_SIG:
         return decode_png_gray(payload)

@@ -23,7 +23,7 @@ from pyspark.sql.functions import pandas_udf
 
 from cookieblock_consent_classifier_spark.functions.image import (
     average_phash,
-    encode_image,
+    encode_image_batch,
     synth_pixels,
 )
 
@@ -39,10 +39,13 @@ _CAPTION_WORDS = [
 @pandas_udf(T.BinaryType())
 def _encode_udf(image_id: pd.Series, update_idx: pd.Series, w: pd.Series,
                 h: pd.Series, fmt: pd.Series) -> pd.Series:
-    out = []
-    for iid, ui, ww, hh, f in zip(image_id, update_idx, w, h, fmt):
-        out.append(encode_image(synth_pixels(iid, int(ui), int(ww), int(hh)), f))
-    return pd.Series(out)
+    # batch path: every jpeg in the Arrow batch encodes in ONE
+    # vectorized codec call (encode_image_batch)
+    pxs = [
+        synth_pixels(iid, int(ui), int(ww), int(hh))
+        for iid, ui, ww, hh in zip(image_id, update_idx, w, h)
+    ]
+    return pd.Series(encode_image_batch(pxs, list(fmt)))
 
 
 @pandas_udf(T.LongType())
@@ -53,10 +56,12 @@ def _phash_udf(image_id: pd.Series, update_idx: pd.Series, w: pd.Series,
     # for lossy formats too.
     from cookieblock_consent_classifier_spark.functions.image import decode_image
 
-    out = []
-    for iid, ui, ww, hh, f in zip(image_id, update_idx, w, h, fmt):
-        px = synth_pixels(iid, int(ui), int(ww), int(hh))
-        out.append(average_phash(decode_image(encode_image(px, f))))
+    pxs = [
+        synth_pixels(iid, int(ui), int(ww), int(hh))
+        for iid, ui, ww, hh in zip(image_id, update_idx, w, h)
+    ]
+    encs = encode_image_batch(pxs, list(fmt))
+    out = [average_phash(decode_image(e)) for e in encs]
     return pd.Series(out, dtype="Int64")
 
 

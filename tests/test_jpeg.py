@@ -250,3 +250,19 @@ def test_vectorized_encode_speedup_on_corpus():
             jpeg._encode_entropy_loop(zz)
         t_loop += time.perf_counter() - t0
     assert t_loop / t_vec >= 2.5, (t_loop, t_vec)
+
+
+def test_encode_image_batch_matches_per_image():
+    """image.encode_image_batch (the Arrow-batch call shape the synth
+    UDFs use) must be byte-identical to per-image encode_image for a
+    mixed png/jpeg batch."""
+    from cookieblock_consent_classifier_spark.functions.image import (
+        encode_image,
+        encode_image_batch,
+    )
+
+    pxs = [synth_pixels(f"mix_{i}", i, 24 + i, 16 + i) for i in range(6)]
+    fmts = ["png", "jpeg", "jpeg", "png", "jpeg", "png"]
+    batch = encode_image_batch(pxs, fmts)
+    single = [encode_image(px, f) for px, f in zip(pxs, fmts)]
+    assert batch == single
