@@ -145,15 +145,19 @@ def _bench_suite(spark, sf_dir: str):
     for name in BENCH_QUERIES:
         best_c = best_e = float("inf")
         best_la = float("inf")
-        clean = extra = 0
-        while clean < REPEATS and clean + extra < REPEATS + EXTRA_REPEATS:
+        done = waits = hot_runs = 0
+        while done < REPEATS:
             la = _loadavg1()
-            best_la = min(best_la, la)
+            if la > LOADAVG_CLEAN and waits < EXTRA_REPEATS:
+                # hot window: WAIT instead of burning a full execution
+                # under contention (which would itself keep the host
+                # hot and fold a junk timing into the min)
+                waits += 1
+                time.sleep(10.0)
+                continue
             if la > LOADAVG_CLEAN:
-                extra += 1
-                time.sleep(2.0)
-            else:
-                clean += 1
+                hot_runs += 1  # wait budget exhausted: run anyway, flag
+            best_la = min(best_la, la)
             # fresh plan every run: cached DataFrames reuse shuffle
             # files across writes and under-report exec
             entrymod._PLAN_CACHE.clear()
@@ -164,8 +168,9 @@ def _bench_suite(spark, sf_dir: str):
             t2 = time.perf_counter()
             best_c = min(best_c, t1 - t0)
             best_e = min(best_e, t2 - t1)
-        if clean == 0:
-            contaminated.append(name)
+            done += 1
+        if hot_runs == done:
+            contaminated.append(name)  # no rep ever saw a quiet window
         construct[name] = round(best_c, 3)
         timings[name] = round(best_e, 3)
         loadavg[name] = round(best_la, 2)
@@ -221,11 +226,18 @@ def _bench_scaled_pipelines(spark, sf: float, sf_mult: float = 1.0, reps: int = 
             t0 = time.perf_counter()
             _noop(wide)
             best = min(best, time.perf_counter() - t0)
+        # also record the post-run loadavg: it cannot feed the flag
+        # (the measured job ITSELF drives it up — a 32-core run reads
+        # 30+ regardless of tenants) but lets a reader judge whether a
+        # mid-run tenant spike is plausible (own-load ceiling ≈ cpus;
+        # readings far above it mean contention)
+        la_after = _loadavg1()
         out[label] = {
             "input_rows": rows,
             "sec": round(best, 3),
             "rows_per_sec": round(rows / best, 1) if best > 0 else 0.0,
             "loadavg": round(la, 2),
+            "loadavg_after": round(la_after, 2),
             "contaminated": la > LOADAVG_CLEAN,
         }
     return out

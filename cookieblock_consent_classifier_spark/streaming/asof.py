@@ -129,10 +129,15 @@ def apply_asof_state(
     ttl_ms = _parse_duration_ms(state_ttl) if state_ttl else None
     tol_us = int(tolerance_seconds * 1e6) if tolerance_seconds is not None else None
 
-    from pyspark.sql import SparkSession
-
-    late_acc = SparkSession.getActiveSession().sparkContext.accumulator(0)
+    # accumulator only when asked for: each one registers with the
+    # driver for the session's lifetime (leak per call otherwise), and
+    # unioned.sparkSession is thread-safe where getActiveSession() is
+    # thread-local-None off the main thread. CAVEAT: accumulator
+    # updates in transformations re-apply on task retries /
+    # speculative re-execution — read the metric as an upper bound.
+    late_acc = None
     if metrics is not None:
+        late_acc = unioned.sparkSession.sparkContext.accumulator(0)
         metrics["late_facts_nulled"] = late_acc
 
     def _update(
@@ -158,7 +163,16 @@ def apply_asof_state(
                 if max_ets_ms is None or ets_ms > max_ets_ms:
                     max_ets_ms = ets_ms
                 if rd["__tag"] == 0:
-                    st[0] = int(pd.Timestamp(rd["__ets"]).value // 1000)
+                    dim_us = int(pd.Timestamp(rd["__ets"]).value // 1000)
+                    # forward-only state: a LATE dim (older than the
+                    # stored one, i.e. arriving across batches out of
+                    # order) must not regress the as-of state — the
+                    # batch twin serves the latest dim <= fact ts, not
+                    # the latest-arrived. Equal ts: last arrival wins
+                    # (batch tie semantics via dim_order).
+                    if st[0] is not None and dim_us < st[0]:
+                        continue
+                    st[0] = dim_us
                     for i, p in enumerate(payload):
                         # batch parity: asof_join forward-fills each
                         # payload column with last(ignorenulls=True),
@@ -173,7 +187,7 @@ def apply_asof_state(
                     # true as-of state is unrecoverable, never serve
                     # the future one (see docstring)
                     late = st[0] is not None and st[0] > fact_us
-                    if late:
+                    if late and late_acc is not None:
                         late_acc.add(1)
                     stale = (
                         tol_us is not None

@@ -126,7 +126,12 @@ class AsofStateProcessor(StatefulProcessor):
             pdf = pdf.sort_values(["__ets", "__tag"], kind="mergesort")
             for rd in pdf.to_dict("records"):
                 if rd["__tag"] == 0:
-                    st[0] = int(pd.Timestamp(rd["__ets"]).value // 1000)
+                    dim_us = int(pd.Timestamp(rd["__ets"]).value // 1000)
+                    # forward-only: a late dim must not regress the
+                    # as-of state (see streaming/asof.apply_asof_state)
+                    if st[0] is not None and dim_us < st[0]:
+                        continue
+                    st[0] = dim_us
                     for i, p in enumerate(self.payload):
                         # batch parity: last(ignorenulls=True) — a
                         # NULL dim value must NOT clobber state

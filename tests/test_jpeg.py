@@ -140,11 +140,12 @@ def test_fuzz_round_trip_never_crashes_and_bounds_error(h, w, seed, quality):
     quality=st.integers(30, 100),
 )
 def test_vectorized_entropy_coder_is_bit_identical_to_spec_loop(h, w, seed, quality):
-    """The round-5 vectorized entropy coder (_encode_entropy: cummax
-    run-lengths, lexsort unit ordering, cumsum bit packing) must be
-    BYTE-IDENTICAL to the retained spec-literal per-symbol walk
-    (_encode_entropy_loop) on arbitrary content — same huffman codes,
-    same ZRL/EOB placement, same 1-fill padding, same byte stuffing."""
+    """The round-5 vectorized entropy coder (_encode_entropy:
+    neighbor-comparison run lengths, direct stream-position
+    computation, cumsum + reduceat bit packing) must be BYTE-IDENTICAL
+    to the retained spec-literal per-symbol walk (_encode_entropy_loop)
+    on arbitrary content — same huffman codes, same ZRL/EOB placement,
+    same 1-fill padding, same byte stuffing."""
     rng = np.random.default_rng(seed)
     px = rng.integers(0, 256, (h, w)).astype(np.uint8)
     zz = _quantized_zigzag(px, quality)

@@ -514,3 +514,57 @@ def test_late_fact_never_leaks_future_state_and_is_counted(spark, tmp_path):
     stats = watermark_drop_counts(q)
     assert stats["batches_observed"] >= 2
     assert stats["rows_dropped_by_watermark"] == 0, stats
+
+
+def test_late_dim_never_regresses_state(spark, tmp_path):
+    """Forward-only state (code-review r5 finding): a dim row arriving
+    LATE across batches (older than the stored dim state) must not
+    regress the state — the batch twin serves the latest dim <= fact
+    ts, not the latest-ARRIVED. Batch 1 stores dim day-10 (v=5);
+    batch 2 delivers a late dim day-0 (v=1) then a fact at day 11,
+    which must still see v=5."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField as SF, StructType as ST, TimestampType,
+    )
+
+    fact_schema = ST([SF("event_id", LongType()), SF("ts", TimestampType()), SF("user_id", LongType())])
+    union_schema = ST(list(fact_schema.fields) + [
+        SF("__tag", IntegerType()), SF("__ets", TimestampType()), SF("__dim_v", LongType()),
+    ])
+    d0 = dt.datetime(2026, 1, 1)
+
+    def day(n):
+        return d0 + dt.timedelta(days=n)
+
+    batches = [
+        [(None, None, 7, 0, day(10), 5), (400, day(10), 7, 1, day(10), None)],
+        [(None, None, 7, 0, day(0), 1), (401, day(11), 7, 1, day(11), None)],
+    ]
+    src = str(tmp_path / "latedim_src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        f = str(tmp_path / f"ld{i}")
+        spark.createDataFrame(rows, union_schema).coalesce(1).write.parquet(f)
+        [part] = [x for x in os.listdir(f) if x.startswith("part-")]
+        dst = os.path.join(src, f"{i}-{part}")
+        os.rename(os.path.join(f, part), dst)
+        os.utime(dst, (time.time() + i * 10, time.time() + i * 10))
+
+    stream = (
+        spark.readStream.schema(union_schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = apply_asof_state(
+        stream, fact_schema, [union_schema["__dim_v"]],
+        on="user_id", payload=["v"], suffix="_asof",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("asof_latedim")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180), "streaming query timed out"
+    got = {r["event_id"]: r["v_asof"] for r in spark.table("asof_latedim").collect()}
+    assert got[400] == 5
+    assert got[401] == 5, "late dim must not regress forward-only state"
