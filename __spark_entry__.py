@@ -1708,6 +1708,11 @@ def _pipeline_oracle_sql() -> str:
         "same_site": [pmb(f"same_site = '{c}'") for c in ("no_restriction", "lax", "strict")],
         "expiry": ["CAST(expiry AS DOUBLE)"],
         "expiry_extra": bucket_exprs,
+        # char-frequency Shannon entropy (native.shannon_entropy_ref);
+        # DuckDB's entropy() aggregate is log2 like the reference. The
+        # adapter's value domain (events.props) is %-free, so Python
+        # unquote — which the Spark side still applies — is identity.
+        "shannon_entropy": ["ent_val"],
     }
     pd_exprs = {"time_difference": "d_time_difference", "lev_distance": "d_lev"}
 
@@ -1751,6 +1756,7 @@ def _pipeline_oracle_sql() -> str:
         "expiry_changed": ["chg_expiry"],
         "levenshtein_total": ["lev_mean", "lev_std"],
         "contlength_total": ["cl_mean", "cl_std"],
+        "entropy_total": ["ent_mean", "ent_std"],
     }
     rank_cols = {"top_names": "tn_rank", "top_domains": "td_rank"}
 
@@ -1818,7 +1824,8 @@ win AS (
          CAST(expiry - lag(expiry) OVER w AS DOUBLE) AS d_time_difference,
          CASE WHEN lag(value) OVER w IS NOT NULL
               THEN CAST(levenshtein(lag(value) OVER w, value) AS DOUBLE) END AS d_lev,
-         CAST(strlen(value) AS DOUBLE) AS byte_len
+         CAST(strlen(value) AS DOUBLE) AS byte_len,
+         list_aggregate(string_split(value, ''), 'entropy') AS ent_val
   FROM filt WINDOW w AS (PARTITION BY entity_id ORDER BY ts, update_idx)
 ),
 ent AS (
@@ -1839,6 +1846,8 @@ ent AS (
          coalesce(stddev_samp(d_lev), -1.0) AS lev_std,
          coalesce(avg(byte_len), -1.0) AS cl_mean,
          coalesce(stddev_samp(byte_len), -1.0) AS cl_std,
+         coalesce(avg(ent_val), -1.0) AS ent_mean,
+         coalesce(stddev_samp(ent_val), -1.0) AS ent_std,
          {pivot_sql}
   FROM win GROUP BY entity_id
 ),

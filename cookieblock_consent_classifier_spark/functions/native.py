@@ -279,3 +279,109 @@ def uniform_domain(col: str | Column) -> Column:
     c = F.regexp_replace(c, r"^\.", "")
     c = F.regexp_replace(c, r"/$", "")
     return c
+
+
+# ---------------------------------------------------------------------------
+# native Python-unquote + Shannon entropy (feature_shannon_entropy,
+# processor.py:1083-1098, without the Arrow kernel)
+# ---------------------------------------------------------------------------
+
+_HEX2 = r"^[0-9A-Fa-f]{2}"
+
+
+def py_unquote(col: str | Column) -> Column:
+    """Catalyst twin of ``urllib.parse.unquote(s, errors='replace')``
+    — NOT ``F.url_decode`` (Java URLDecoder turns '+' into space and
+    NULLs the whole value on any malformed %-escape; Python leaves
+    both alone).
+
+    Construction mirrors CPython's unquote: split on '%'; each tail
+    part whose first two chars are hex contributes that byte + the
+    UTF-8 bytes of its remainder, otherwise the literal '%' + part;
+    the byte stream then decodes as UTF-8 with invalid sequences
+    replaced by U+FFFD. Spark 4's ``make_valid_utf8`` applies exactly
+    that substitution (binary→string cast is unvalidated), and both
+    engines substitute maximal invalid subparts, so results match
+    CPython byte-for-byte — pinned by the hypothesis fuzz in
+    tests/test_native_entropy.py. CPython decodes each run of %XX
+    bytes separately while this builds ONE buffer, but interleaved
+    literal text is always valid UTF-8 whose first byte is never a
+    continuation byte, so the decode boundaries cannot merge across a
+    literal/escape edge (same fuzz pins it).
+
+    The aggregate-concat is O(parts²) in byte copies; cookie values
+    carry few escapes, and the no-'%' fast path skips everything."""
+    c = _c(col)
+    parts = F.split(c, "%", -1)
+    head = F.encode(F.element_at(parts, 1), "UTF-8")
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def dec_part(acc: Column, p: Column) -> Column:
+        piece = F.when(
+            p.rlike(_HEX2),
+            F.concat(
+                F.unhex(p.substr(1, 2)),
+                F.encode(p.substr(F.lit(3), F.length(p)), "UTF-8"),
+            ),
+        ).otherwise(F.encode(F.concat(F.lit("%"), p), "UTF-8"))
+        return F.concat(acc, piece)
+
+    decoded = F.make_valid_utf8(F.aggregate(tail, head, dec_part).cast("string"))
+    return F.when(~F.contains(c, F.lit("%")), c).otherwise(decoded)
+
+
+def char_entropy(col: str | Column) -> Column:
+    """Char-frequency Shannon entropy (log2) of a string, as ONE
+    native aggregate HOF pass over the sorted char array: runs of
+    equal chars accumulate Σ count·log2(count), and the finish step
+    folds the algebra  H = log2(n) − Σ c·log2(c) / n  — identical to
+    the reference's −Σ (c/n)·log2(c/n) (processor.py:1090-1096) up to
+    float associativity (pinned ≤1e-9 abs in tests). Empty → 0.0,
+    NULL → NULL, both matching vectorized._py_entropy. The input
+    column is referenced exactly once, so callers can pass a whole
+    ``py_unquote`` expression without duplicating it in the plan."""
+    chars = F.array_sort(F.split(_c(col), ""))
+
+    def run_term(run: Column) -> Column:
+        return F.when(run > 0, run.cast("double") * F.log2(run)).otherwise(F.lit(0.0))
+
+    def merge(s: Column, x: Column) -> Column:
+        return F.when(
+            x.eqNullSafe(s["prev"]),
+            F.struct(
+                s["prev"].alias("prev"),
+                (s["run"] + 1).alias("run"),
+                s["acc"].alias("acc"),
+                (s["tot"] + 1).alias("tot"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                (s["acc"] + run_term(s["run"])).alias("acc"),
+                (s["tot"] + 1).alias("tot"),
+            )
+        )
+
+    def finish(s: Column) -> Column:
+        return F.when(s["tot"] == 0, F.lit(0.0)).otherwise(
+            F.log2(s["tot"]) - (s["acc"] + run_term(s["run"])) / s["tot"]
+        )
+
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("acc"),
+        F.lit(0).cast("long").alias("tot"),
+    )
+    return F.aggregate(chars, zero, merge, finish)
+
+
+def shannon_entropy_ref(col: str | Column) -> Column:
+    """feature_shannon_entropy (processor.py:1083-1098) fully native:
+    char entropy of the Python-unquoted value. Used by the compiler
+    when a schema enables no other kernel feature (zero-Python plans);
+    when the fused Arrow kernel already exists the builder rides its
+    ``entropy`` field instead — same values (kernel-parity test on the
+    real fixtures), two physical strategies."""
+    return char_entropy(py_unquote(col))

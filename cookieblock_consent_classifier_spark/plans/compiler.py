@@ -131,13 +131,20 @@ def _pm_b(cond: Column) -> list[Column]:
     return [native.pm(cond)]
 
 
-def _per_update_builders() -> dict[str, Callable[[dict], list[Column] | Column]]:
+def _per_update_builders(
+    use_kernel: bool = True,
+) -> dict[str, Callable[[dict], list[Column] | Column]]:
     """Maps spec name → builder(ctx). ``ctx`` carries the raw update
     columns plus ``k`` — the FUSED Python kernel struct
     (vectorized.content_kernel_udf): one Arrow round-trip computes
     every non-native metric, builders just project its fields. A
     builder returns a list of fixed Columns, or for rank-multihot
-    features a single array<int> Column."""
+    features a single array<int> Column.
+
+    ``use_kernel=False`` swaps each NATIVE_CAPABLE_PER_UPDATE builder
+    for its pure-Catalyst form (ctx's ``nat_entropy`` column, computed
+    once in stage 0) — chosen by compile_features when no enabled
+    feature needs the Arrow kernel, so the plan stays zero-Python."""
     v = lambda c: c["value"]  # noqa: E731
     k = lambda c: c["k"]  # noqa: E731
 
@@ -160,6 +167,10 @@ def _per_update_builders() -> dict[str, Callable[[dict], list[Column] | Column]]
             for i in range(len(V.DELIMITERS))
         ]
 
+    entropy_builder = (
+        (lambda c: [k(c)["entropy"]]) if use_kernel
+        else (lambda c: [c["nat_entropy"]])
+    )
     return {
         "http_only": lambda c: [native.pm_flag(c["http_only"])],
         "secure": lambda c: [native.pm_flag(c["secure"])],
@@ -169,7 +180,7 @@ def _per_update_builders() -> dict[str, Callable[[dict], list[Column] | Column]]
         "expiry_extra": lambda c: native.expiry_buckets(c["expiry"]),
         "content_length": lambda c: [k(c)["dec_len"]],
         "compressed_length": compressed,
-        "shannon_entropy": lambda c: [k(c)["entropy"]],
+        "shannon_entropy": entropy_builder,
         # value != unquote(value) → ±1 (processor.py:1101-1113)
         "url_encoding": lambda c: [native.pm(v(c) != k(c)["dec"])],
         "delimiter_sep": delimiter_sep,
@@ -216,6 +227,15 @@ KERNEL_PER_UPDATE = frozenset({
     "timestamp_content", "date_content", "contains_uuid", "url_content",
 })
 
+# kernel features that ALSO have a pure-Catalyst form (same values —
+# kernel-parity test on the real fixtures in test_native_entropy.py).
+# They ride the fused kernel when it already exists (one more field on
+# the same Arrow pass is free) and fall back to the native expression
+# when nothing else needs the kernel, so schemas like native_schema may
+# include them and still compile to zero Python nodes.
+NATIVE_CAPABLE_PER_UPDATE = frozenset({"shannon_entropy"})
+KERNEL_ONLY_PER_UPDATE = KERNEL_PER_UPDATE - NATIVE_CAPABLE_PER_UPDATE
+
 
 def native_schema(res: Resources, num_updates: int = 2, num_diffs: int = 2) -> FeatureSchema:
     """The SQL-expressible subset of ``default_schema``: every feature
@@ -250,6 +270,7 @@ def native_schema(res: Resources, num_updates: int = 2, num_diffs: int = 2) -> F
         FeatureSpec("expiry_changed"),
         FeatureSpec("levenshtein_total", vector_size=2),
         FeatureSpec("contlength_total", vector_size=2),
+        FeatureSpec("entropy_total", vector_size=2),
     ]
     pu = [
         FeatureSpec("http_only"),
@@ -258,12 +279,13 @@ def native_schema(res: Resources, num_updates: int = 2, num_diffs: int = 2) -> F
         FeatureSpec("same_site", vector_size=3),
         FeatureSpec("expiry"),
         FeatureSpec("expiry_extra", vector_size=8),
+        FeatureSpec("shannon_entropy"),
     ]
     pd_ = [
         FeatureSpec("time_difference"),
         FeatureSpec("lev_distance"),
     ]
-    assert not any(s.name in KERNEL_PER_UPDATE for s in pu)
+    assert not any(s.name in KERNEL_ONLY_PER_UPDATE for s in pu)
     return FeatureSchema(
         num_updates=num_updates, num_diffs=num_diffs,
         per_entity=tuple(pe), per_update=tuple(pu), per_diff=tuple(pd_),
@@ -347,7 +369,6 @@ def compile_features(
             keep = F.pmod(F.xxhash64(F.col(entity_col)), F.lit(skip_sample_mod)) == 0
             df = df.filter(~cmp_name | keep)
 
-    builders = _per_update_builders()
     w = Window.partitionBy(entity_col).orderBy("ts", "update_idx")
     enabled_pe = {s.name for s in schema.per_entity if s.enabled}
     need_gestalt = "gestalt_total" in enabled_pe or any(
@@ -376,13 +397,25 @@ def compile_features(
     csv_ms = next((s.args.get("min_seps", 2) for s in schema.per_update
                    if s.name == "csv_contents"), 2)
     need_kernel = any(
-        s.enabled and s.name in KERNEL_PER_UPDATE for s in schema.per_update
-    ) or bool({"complength_total", "entropy_total"} & enabled_pe)
+        s.enabled and s.name in KERNEL_ONLY_PER_UPDATE for s in schema.per_update
+    ) or "complength_total" in enabled_pe
+    need_nat_entropy = not need_kernel and (
+        any(s.enabled and s.name == "shannon_entropy" for s in schema.per_update)
+        or "entropy_total" in enabled_pe
+    )
+    builders = _per_update_builders(use_kernel=need_kernel)
     if need_kernel:
         kernel = V.content_kernel_udf(
             res.content_terms, delim_min_seps=delim_ms, csv_min_seps=csv_ms
         )
         staged = df.select("*", kernel(F.col("value")).alias("__k"))
+    elif need_nat_entropy:
+        # entropy is native-capable (native.shannon_entropy_ref):
+        # materialized ONCE here so the per-update slot and the
+        # entropy_total aggregate share one evaluation per row
+        staged = df.select(
+            "*", native.shannon_entropy_ref("value").alias("__nat_entropy")
+        )
     else:
         # purely-native schema (e.g. native_schema): no kernel node at
         # all — the plan is 100% whole-stage-codegen expressions
@@ -393,6 +426,7 @@ def compile_features(
         "http_only": F.col("http_only"), "secure": F.col("secure"),
         "session": F.col("session"), "same_site": F.col("same_site"),
         "host_only": F.col("host_only"), "k": F.col("__k"),
+        "nat_entropy": F.col("__nat_entropy"),
     }
     stage0_cols: list[Column] = []
     upd_cols: dict[str, list[str] | str] = {}
@@ -421,7 +455,10 @@ def compile_features(
     if "complength_total" in enabled_pe:
         stage0_cols.append(F.col("__k")["zlib_len"].alias("__zlib_len"))
     if "entropy_total" in enabled_pe:
-        stage0_cols.append(F.col("__k")["entropy"].alias("__entropy"))
+        src_entropy = (
+            F.col("__k")["entropy"] if need_kernel else F.col("__nat_entropy")
+        )
+        stage0_cols.append(src_entropy.alias("__entropy"))
     proj = staged.select("*", *stage0_cols)
 
     # ---- stage 1 (the ONE shuffle): window lag columns + change

@@ -18,7 +18,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from cookieblock_consent_classifier_spark.plans.compiler import (
-    KERNEL_PER_UPDATE,
+    KERNEL_ONLY_PER_UPDATE,
     compile_features,
     default_schema,
     native_schema,
@@ -56,8 +56,10 @@ def test_native_schema_is_a_sub_schema(res):
     for fam in (sub.per_entity, sub.per_update, sub.per_diff):
         for s in fam:
             assert full_specs[s.name] == s.vector_size, s.name
-    # and none of its per-update specs needs the Arrow kernel
-    assert not any(s.name in KERNEL_PER_UPDATE for s in sub.per_update)
+    # and none of its per-update specs REQUIRES the Arrow kernel
+    # (shannon_entropy is kernel-resident in the full schema but
+    # native-capable — NATIVE_CAPABLE_PER_UPDATE)
+    assert not any(s.name in KERNEL_ONLY_PER_UPDATE for s in sub.per_update)
 
 
 def test_adapter_is_deterministic_and_schema_shaped(spark, events):
@@ -94,7 +96,7 @@ def test_native_pipeline_plan_is_pure_jvm_single_entity_exchange(pipeline):
 def test_sparse_rows_contract(pipeline, res):
     wide, names = pipeline
     schema = native_schema(res, num_updates=2, num_diffs=2)
-    assert len(names) == schema.total_width == 90
+    assert len(names) == schema.total_width == 94
     rows = wide.limit(20).collect()
     assert rows
     for r in rows:
