@@ -1645,12 +1645,17 @@ def q_ann_lsh_topk(spark, sf_dir):
 # the assembled arrays, fidx the feature-vector index.
 
 def _pipeline_oracle_sql() -> str:
-    from cookieblock_consent_classifier_spark.functions.native import EXPIRY_BUCKETS
+    from cookieblock_consent_classifier_spark.functions.native import (
+        EXPIRY_BUCKETS,
+        REF_DATE_DMY, REF_DATE_MDY, REF_DATE_YMD, REF_DAYS3, REF_HTTP,
+        REF_MONTHS3, REF_UUID, REF_WWW, TIMESTAMP_PAT,
+    )
     from cookieblock_consent_classifier_spark.plans.compiler import (
         RANK_FEATURES, native_schema,
     )
     from cookieblock_consent_classifier_spark.sources.readers import (
-        EVENTS_DOMAIN_CASES, EVENTS_EXPIRY_CASES, EVENTS_NAME_CASES, _HALF_NIBBLES,
+        EVENTS_DOMAIN_CASES, EVENTS_EXPIRY_CASES, EVENTS_NAME_CASES,
+        EVENTS_VALUE_ESCAPES, _HALF_NIBBLES,
     )
     from cookieblock_consent_classifier_spark.sources.resources import fixture_resources
 
@@ -1670,6 +1675,40 @@ def _pipeline_oracle_sql() -> str:
         for k, v in EVENTS_EXPIRY_CASES.items()
     )
     half = ", ".join(f"'{c}'" for c in _HALF_NIBBLES)
+
+    # value-branch twins (readers.cookie_updates_from_events), built
+    # from the SAME shared constants. enc/dec replace chains both come
+    # from EVENTS_VALUE_ESCAPES (targets and replacements never
+    # overlap, so chain order is irrelevant).
+    enc = "props"
+    for ch, esc in EVENTS_VALUE_ESCAPES:
+        enc = f"replace({enc}, '{ch}', '{esc}')"
+
+    def hex_int(pos: int, ln: int) -> str:
+        return f"CAST(('0x' || substr(h, {pos}, {ln})) AS BIGINT)"
+
+    ts_val = f"'16' || lpad(CAST({hex_int(20, 6)} AS VARCHAR), 8, '0')"
+    uuid_val = (
+        "substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' || "
+        f"CAST({hex_int(13, 1)} % 8 AS VARCHAR) || substr(h, 14, 3) || '-' || "
+        "substr(h, 17, 4) || '-' || substr(h, 21, 12)"
+    )
+    url_val = "'https://www.' || substr(h, 20, 6) || '.example.com/t'"
+    date_val = (
+        f"'2021-' || lpad(CAST({hex_int(26, 2)} % 12 + 1 AS VARCHAR), 2, '0') || "
+        f"'-' || lpad(CAST({hex_int(28, 2)} % 28 + 1 AS VARCHAR), 2, '0')"
+    )
+    value_case = f"""CASE substr(h, 19, 1)
+           WHEN '8' THEN {enc}
+           WHEN '9' THEN {ts_val}
+           WHEN 'a' THEN {uuid_val}
+           WHEN 'b' THEN {url_val}
+           WHEN 'c' THEN {date_val}
+           ELSE props END"""
+    dec_chain = "value"
+    for ch, esc in EVENTS_VALUE_ESCAPES:
+        dec_chain = f"replace({dec_chain}, '{esc}', '{ch}')"
+
     src = f"""
   SELECT CAST(user_id AS VARCHAR) AS entity_id, ts,
          CAST(event_id AS INT) AS update_idx,
@@ -1677,7 +1716,7 @@ def _pipeline_oracle_sql() -> str:
          CASE {dom_case} END AS domain,
          CASE WHEN user_id % 3 = 0 THEN '/app' ELSE '/' END AS path,
          CAST(CAST(('0x' || substr(md5('l' || CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) % 5 AS INT) AS label,
-         props AS value,
+         {value_case} AS value,
          CASE {exp_case} ELSE CAST(('0x' || substr(h, 7, 12)) AS BIGINT) % 60000000 END AS expiry,
          substr(h, 1, 1) IN ({half}) AS http_only,
          substr(h, 2, 1) IN ({half}) AS secure,
@@ -1708,11 +1747,31 @@ def _pipeline_oracle_sql() -> str:
         "same_site": [pmb(f"same_site = '{c}'") for c in ("no_restriction", "lax", "strict")],
         "expiry": ["CAST(expiry AS DOUBLE)"],
         "expiry_extra": bucket_exprs,
-        # char-frequency Shannon entropy (native.shannon_entropy_ref);
-        # DuckDB's entropy() aggregate is log2 like the reference. The
-        # adapter's value domain (events.props) is %-free, so Python
-        # unquote — which the Spark side still applies — is identity.
+        # decoded-content natives (NATIVE_CAPABLE_PER_UPDATE): the
+        # twin decodes branch-'8' escapes via the shared
+        # EVENTS_VALUE_ESCAPES replace chain (== py_unquote on this
+        # controlled domain), then applies the SAME reference regex
+        # strings (native.REF_*) — DuckDB RE2 and Java agree on these
+        # patterns — and per-row char entropy via DuckDB's log2
+        # entropy() aggregate (like the reference).
+        "content_length": ["CAST(strlen(dec) AS DOUBLE)"],
         "shannon_entropy": ["ent_val"],
+        "url_encoding": [pmb("value <> dec")],
+        "timestamp_content": [pmb(f"regexp_matches(dec, '{TIMESTAMP_PAT}')")],
+        "date_content": [pmb(
+            f"(regexp_matches(dec, '{REF_DATE_YMD}') OR "
+            f"regexp_matches(dec, '{REF_DATE_DMY}') OR "
+            f"regexp_matches(dec, '{REF_DATE_MDY}') OR "
+            f"(regexp_matches(dec, '{REF_DAYS3}') AND "
+            f"regexp_matches(dec, '{REF_MONTHS3}')))"
+        )],
+        "contains_uuid": (
+            [pmb(f"uuid_ver = '{v}'") for v in ("1", "2", "3", "4", "5")]
+            + [pmb("uuid_ver <> '' AND uuid_ver NOT IN ('1','2','3','4','5')")]
+        ),
+        "url_content": [pmb(
+            f"(regexp_matches(dec, '{REF_HTTP}') OR regexp_matches(dec, '{REF_WWW}'))"
+        )],
     }
     pd_exprs = {"time_difference": "d_time_difference", "lev_distance": "d_lev"}
 
@@ -1810,7 +1869,7 @@ def _pipeline_oracle_sql() -> str:
 
     return f"""
 WITH src AS ({src}),
-filt AS (SELECT * FROM src WHERE label BETWEEN 0 AND 3),
+filt AS (SELECT *, {dec_chain} AS dec FROM src WHERE label BETWEEN 0 AND 3),
 win AS (
   SELECT *,
          row_number() OVER w - 1 AS slot,
@@ -1825,7 +1884,8 @@ win AS (
          CASE WHEN lag(value) OVER w IS NOT NULL
               THEN CAST(levenshtein(lag(value) OVER w, value) AS DOUBLE) END AS d_lev,
          CAST(strlen(value) AS DOUBLE) AS byte_len,
-         list_aggregate(string_split(value, ''), 'entropy') AS ent_val
+         list_aggregate(string_split(dec, ''), 'entropy') AS ent_val,
+         lower(coalesce(regexp_extract(dec, '{REF_UUID}', 1), '')) AS uuid_ver
   FROM filt WINDOW w AS (PARTITION BY entity_id ORDER BY ts, update_idx)
 ),
 ent AS (

@@ -149,10 +149,12 @@ def _per_update_builders(
     k = lambda c: c["k"]  # noqa: E731
 
     def decoded(c):
-        # Python-unquote semantics from the fused kernel — NOT
-        # F.try_url_decode (Java URLDecoder: '+'→space, malformed
-        # %-escape→NULL; both diverge from the reference's unquote).
-        return k(c)["dec"]
+        # Python-unquote semantics — NOT F.try_url_decode (Java
+        # URLDecoder: '+'→space, malformed %-escape→NULL; both diverge
+        # from the reference's unquote). Sourced from the fused
+        # kernel's dec field when the kernel exists, else from the
+        # stage-0 native.py_unquote column (byte-exact CPython twin).
+        return k(c)["dec"] if use_kernel else c["nat_dec"]
 
     def compressed(c):
         # compressed size + reduction (processor.py:1061-1081)
@@ -171,6 +173,10 @@ def _per_update_builders(
         (lambda c: [k(c)["entropy"]]) if use_kernel
         else (lambda c: [c["nat_entropy"]])
     )
+    content_length_builder = (
+        (lambda c: [k(c)["dec_len"]]) if use_kernel
+        else (lambda c: [F.octet_length(c["nat_dec"]).cast("double")])
+    )
     return {
         "http_only": lambda c: [native.pm_flag(c["http_only"])],
         "secure": lambda c: [native.pm_flag(c["secure"])],
@@ -178,11 +184,11 @@ def _per_update_builders(
         "same_site": lambda c: native.one_hot(c["same_site"], ["no_restriction", "lax", "strict"]),
         "expiry": lambda c: [c["expiry"].cast("double")],
         "expiry_extra": lambda c: native.expiry_buckets(c["expiry"]),
-        "content_length": lambda c: [k(c)["dec_len"]],
+        "content_length": content_length_builder,
         "compressed_length": compressed,
         "shannon_entropy": entropy_builder,
         # value != unquote(value) → ±1 (processor.py:1101-1113)
-        "url_encoding": lambda c: [native.pm(v(c) != k(c)["dec"])],
+        "url_encoding": lambda c: [native.pm(v(c) != decoded(c))],
         "delimiter_sep": delimiter_sep,
         "base64_encoded": lambda c: [native.pm(k(c)["b64_valid"])],
         # shape-regex + base64 fallback, in the kernel (processor.py:1148-1162)
@@ -232,8 +238,18 @@ KERNEL_PER_UPDATE = frozenset({
 # They ride the fused kernel when it already exists (one more field on
 # the same Arrow pass is free) and fall back to the native expression
 # when nothing else needs the kernel, so schemas like native_schema may
-# include them and still compile to zero Python nodes.
-NATIVE_CAPABLE_PER_UPDATE = frozenset({"shannon_entropy"})
+# include them and still compile to zero Python nodes. Everything here
+# only ever needed the kernel for the Python-unquote decoded string;
+# native.py_unquote (CPython-unquote byte-exact) supplies it natively,
+# and the regex/length/entropy logic on top was native all along. The
+# rest of KERNEL_PER_UPDATE stays kernel-only for real reasons: zlib
+# (compressed_length), csv.Sniffer (csv/delimiter), js2py
+# (js_contents), base64 decode heuristics, and Python unicode
+# semantics (isnumeric/isalpha/isidentifier/case/isspace/\b).
+NATIVE_CAPABLE_PER_UPDATE = frozenset({
+    "shannon_entropy", "content_length", "url_encoding",
+    "timestamp_content", "date_content", "contains_uuid", "url_content",
+})
 KERNEL_ONLY_PER_UPDATE = KERNEL_PER_UPDATE - NATIVE_CAPABLE_PER_UPDATE
 
 
@@ -279,7 +295,13 @@ def native_schema(res: Resources, num_updates: int = 2, num_diffs: int = 2) -> F
         FeatureSpec("same_site", vector_size=3),
         FeatureSpec("expiry"),
         FeatureSpec("expiry_extra", vector_size=8),
+        FeatureSpec("content_length"),
         FeatureSpec("shannon_entropy"),
+        FeatureSpec("url_encoding"),
+        FeatureSpec("timestamp_content"),
+        FeatureSpec("date_content"),
+        FeatureSpec("contains_uuid", vector_size=6),
+        FeatureSpec("url_content"),
     ]
     pd_ = [
         FeatureSpec("time_difference"),
@@ -399,9 +421,12 @@ def compile_features(
     need_kernel = any(
         s.enabled and s.name in KERNEL_ONLY_PER_UPDATE for s in schema.per_update
     ) or "complength_total" in enabled_pe
+    enabled_pu = {s.name for s in schema.per_update if s.enabled}
     need_nat_entropy = not need_kernel and (
-        any(s.enabled and s.name == "shannon_entropy" for s in schema.per_update)
-        or "entropy_total" in enabled_pe
+        "shannon_entropy" in enabled_pu or "entropy_total" in enabled_pe
+    )
+    need_nat_dec = not need_kernel and (
+        bool(NATIVE_CAPABLE_PER_UPDATE & enabled_pu) or need_nat_entropy
     )
     builders = _per_update_builders(use_kernel=need_kernel)
     if need_kernel:
@@ -409,16 +434,22 @@ def compile_features(
             res.content_terms, delim_min_seps=delim_ms, csv_min_seps=csv_ms
         )
         staged = df.select("*", kernel(F.col("value")).alias("__k"))
-    elif need_nat_entropy:
-        # entropy is native-capable (native.shannon_entropy_ref):
-        # materialized ONCE here so the per-update slot and the
-        # entropy_total aggregate share one evaluation per row
-        staged = df.select(
-            "*", native.shannon_entropy_ref("value").alias("__nat_entropy")
-        )
+    elif need_nat_dec:
+        # NATIVE_CAPABLE features without the kernel: the Python-
+        # unquote decoded string is materialized ONCE (several
+        # builders reference it), then the entropy HOF over it is
+        # materialized ONCE more (the per-update slot and the
+        # entropy_total aggregate share one evaluation per row).
+        # py_unquote is non-cheap and multiply-referenced, so
+        # CollapseProject keeps both projections materialized.
+        staged = df.select("*", native.py_unquote("value").alias("__nat_dec"))
+        if need_nat_entropy:
+            staged = staged.select(
+                "*", native.char_entropy(F.col("__nat_dec")).alias("__nat_entropy")
+            )
     else:
-        # purely-native schema (e.g. native_schema): no kernel node at
-        # all — the plan is 100% whole-stage-codegen expressions
+        # purely-native schema: no kernel node at all — the plan is
+        # 100% whole-stage-codegen expressions
         staged = df
 
     colmap = {
@@ -426,7 +457,7 @@ def compile_features(
         "http_only": F.col("http_only"), "secure": F.col("secure"),
         "session": F.col("session"), "same_site": F.col("same_site"),
         "host_only": F.col("host_only"), "k": F.col("__k"),
-        "nat_entropy": F.col("__nat_entropy"),
+        "nat_dec": F.col("__nat_dec"), "nat_entropy": F.col("__nat_entropy"),
     }
     stage0_cols: list[Column] = []
     upd_cols: dict[str, list[str] | str] = {}

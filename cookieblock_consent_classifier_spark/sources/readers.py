@@ -69,6 +69,22 @@ EVENTS_EXPIRY_CASES: dict[str, int] = {
 }
 _HALF_NIBBLES = ("0", "1", "2", "3", "4", "5", "6", "7")
 
+# value branches keyed on md5 nibble 19: the adapter's value domain
+# exercises every NATIVE_CAPABLE decoded-content feature on real
+# pipeline rows — url-encoded JSON (py_unquote does real work;
+# url_encoding fires +1), a unix-epoch 16xxxxxxxx string
+# (timestamp_content), a canonical UUID with an md5-driven version
+# nibble 0-7 (all six contains_uuid one-hot slots incl. "other"), an
+# https URL (url_content), and an ISO date (date_content); the other
+# 11 nibbles fall through to raw props (all of the above −1 / miss).
+# ESCAPES covers every non-alphanumeric char of the props domain
+# ('{"k": N}'); targets and replacements never overlap, so the
+# encode (char→escape) and decode (escape→char) replace chains are
+# order-independent and BOTH engines generate them from this list.
+EVENTS_VALUE_ESCAPES: list[tuple[str, str]] = [
+    ("{", "%7B"), ('"', "%22"), (":", "%3A"), (" ", "%20"), ("}", "%7D"),
+]
+
 
 def cookie_updates_from_events(events: DataFrame) -> DataFrame:
     """Deterministic adapter: the driver's ``events`` table →
@@ -109,6 +125,37 @@ def cookie_updates_from_events(events: DataFrame) -> DataFrame:
         .when(nib(5).isin("5", "6", "7", "8", "9"), F.lit("lax"))
         .otherwise(F.lit("strict"))
     )
+    enc = F.col("props")
+    for ch, esc in EVENTS_VALUE_ESCAPES:
+        enc = F.replace(enc, F.lit(ch), F.lit(esc))
+    ts_val = F.concat(
+        F.lit("16"),
+        F.lpad(F.conv(F.substring(h, 20, 6), 16, 10), 8, "0"),
+    )
+    uuid_ver = F.pmod(F.conv(F.substring(h, 13, 1), 16, 10).cast("long"), F.lit(8))
+    uuid_val = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(uuid_ver.cast("string"), F.substring(h, 14, 3)),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    url_val = F.concat(F.lit("https://www."), F.substring(h, 20, 6), F.lit(".example.com/t"))
+    month = F.pmod(F.conv(F.substring(h, 26, 2), 16, 10).cast("long"), F.lit(12)) + 1
+    day = F.pmod(F.conv(F.substring(h, 28, 2), 16, 10).cast("long"), F.lit(28)) + 1
+    date_val = F.concat(
+        F.lit("2021-"), F.lpad(month.cast("string"), 2, "0"),
+        F.lit("-"), F.lpad(day.cast("string"), 2, "0"),
+    )
+    value = (
+        F.when(nib(19) == "8", enc)
+        .when(nib(19) == "9", ts_val)
+        .when(nib(19) == "a", uuid_val)
+        .when(nib(19) == "b", url_val)
+        .when(nib(19) == "c", date_val)
+        .otherwise(F.col("props"))
+    )
     return events.select(
         uid.cast("string").alias("entity_id"),
         F.col("ts"),
@@ -119,7 +166,7 @@ def cookie_updates_from_events(events: DataFrame) -> DataFrame:
         label.alias("label"),
         F.lit(0).alias("cmp_origin"),
         eid.cast("int").alias("update_idx"),
-        F.col("props").alias("value"),
+        value.alias("value"),
         expiry.alias("expiry"),
         flag(3).alias("session"),
         flag(1).alias("http_only"),

@@ -96,7 +96,7 @@ def test_native_pipeline_plan_is_pure_jvm_single_entity_exchange(pipeline):
 def test_sparse_rows_contract(pipeline, res):
     wide, names = pipeline
     schema = native_schema(res, num_updates=2, num_diffs=2)
-    assert len(names) == schema.total_width == 94
+    assert len(names) == schema.total_width == 116
     rows = wide.limit(20).collect()
     assert rows
     for r in rows:
@@ -105,6 +105,59 @@ def test_sparse_rows_contract(pipeline, res):
         assert len(r.indices) == len(r.values)
         assert 0 <= r.label <= 3
         assert r.weight > 0
+
+
+def test_new_native_slots_exercise_both_polarities(spark, res, pipeline):
+    """The adapter's value branches (EVENTS_VALUE_ESCAPES + md5-nibble
+    19 cases) must make every decoded-content native feature fire BOTH
+    ways in the ASSEMBLED slots — otherwise the oracle would only pin
+    constant columns. The sf0.001 fixture has just 11 entities (22
+    per-update slots), too few to hit every 1-in-16 branch by luck, so
+    this builds a deterministic events frame instead: md5() is stable,
+    so the event_ids below are KNOWN to select each value branch
+    (nibble 19 of md5(event_id): 4→'8' enc, 11→'9' ts, 16→'a' uuid,
+    6→'b' url, 1→'c' date, 0→'e' plain), and each user's slot 0 is
+    the branch value while slot 1 is raw props."""
+    import datetime as dt
+
+    branch_eids = [4, 11, 16, 6, 1]          # one per value branch
+    rows = []
+    for u, beid in zip((0, 1, 2, 3, 5), branch_eids):  # labels 3,0,0,1,2
+        for slot, eid in enumerate((beid, 0)):
+            rows.append((
+                eid, dt.datetime(2024, 1, 1, 0, slot), u, "click",
+                1.0, f'{{"k": {u * 10 + slot}}}',
+            ))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    wide, names = compile_features(
+        cookie_updates_from_events(ev), native_schema(res, num_updates=2, num_diffs=2), res
+    )
+    long = wide.select(F.posexplode(F.arrays_zip("indices", "values"))).select(
+        F.col("col.indices").alias("f"), F.col("col.values").alias("v")
+    )
+    long = long.cache()
+    for feat in (
+        "url_encoding", "timestamp_content", "date_content",
+        "url_content", "contains_uuid",
+    ):
+        idxs = [i for i, nm in enumerate(names) if feat in nm]
+        assert idxs, feat
+        vals = {r.v for r in long.filter(F.col("f").isin(idxs)).select("v").distinct().collect()}
+        assert 1.0 in vals and -1.0 in vals, (feat, vals)
+    # entropy variety over the real fixture pipeline (11 entities x 2 slots)
+    wide_fx, names_fx = pipeline
+    ent_idxs = [i for i, nm in enumerate(names_fx) if "shannon" in nm]
+    n_ent = (
+        wide_fx.select(F.posexplode(F.arrays_zip("indices", "values")))
+        .select(F.col("col.indices").alias("f"), F.col("col.values").alias("v"))
+        .filter(F.col("f").isin(ent_idxs)).select("v").distinct().count()
+    )
+    # 11 entities x 2 slots; '{"k": N}' strings collapse to few distinct
+    # entropies, branch values add more — bar: not (near-)constant
+    assert n_ent >= 5, "entropy slots should carry varied values"
 
 
 def test_label_filter_applied(spark, events):
