@@ -21,6 +21,8 @@ Cross-engine determinism conventions used throughout:
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -215,7 +217,19 @@ def q_sessionize(spark, sf_dir):
                         THEN epoch(o.o_orderdate)::BIGINT * 10000000 + o.o_orderkey END) AS totalprice_asof,
            arg_max(CASE WHEN o.o_orderdate < e.ts THEN o.o_orderkey END,
                    CASE WHEN o.o_orderdate < e.ts
-                        THEN epoch(o.o_orderdate)::BIGINT * 10000000 + o.o_orderkey END) AS orderkey_strict
+                        THEN epoch(o.o_orderdate)::BIGINT * 10000000 + o.o_orderkey END) AS orderkey_strict,
+           arg_max(CASE WHEN o.o_orderdate <= e.ts
+                         AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+                        THEN o.o_orderkey END,
+                   CASE WHEN o.o_orderdate <= e.ts
+                         AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+                        THEN epoch(o.o_orderdate)::BIGINT * 10000000 + o.o_orderkey END) AS orderkey_tol,
+           arg_max(CASE WHEN o.o_orderdate <= e.ts
+                         AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+                        THEN o.o_totalprice END,
+                   CASE WHEN o.o_orderdate <= e.ts
+                         AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+                        THEN epoch(o.o_orderdate)::BIGINT * 10000000 + o.o_orderkey END) AS totalprice_tol
     FROM events e
     LEFT JOIN orders o
       ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
@@ -225,53 +239,29 @@ def q_sessionize(spark, sf_dir):
 def q_asof_join_orders(spark, sf_dir):
     """Point-in-time as-of join (north rule; SURVEY §2.6): latest
     order state at each event, zero leakage, deterministic tie-break
-    by orderkey — BOTH inclusive and strict (exclusive) boundary
-    semantics from the same single union+window shuffle
-    (also_strict_suffix: one exchange, two sort orders)."""
+    by orderkey — inclusive, strict (exclusive), AND 30-day-staleness-
+    tolerance (pandas merge_asof tolerance analogue) semantics all
+    from the same SINGLE union+window shuffle (also_strict_suffix:
+    one exchange, two sort orders; also_tolerance_suffix: a row-local
+    age predicate over the filled state — zero extra sorts). Folded
+    from the former separate asof_join_tolerance oracle query (round
+    5) to free a correctness-snapshot slot; value coverage unchanged
+    — the tolerance columns are the old query's columns."""
     ev = _t(spark, sf_dir, "events")
     orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
     out = asof.asof_join(
         ev, orders, on="user_id", fact_ts="ts", dim_ts="o_orderdate",
         payload=["o_orderkey", "o_totalprice"], dim_order=["o_orderkey"],
         also_strict_suffix="_strict",
+        tolerance_seconds=30 * 86400, also_tolerance_suffix="_tol",
     )
     return out.select(
         "event_id",
         F.col("o_orderkey_asof").alias("orderkey_asof"),
         F.col("o_totalprice_asof").alias("totalprice_asof"),
         F.col("o_orderkey_strict").alias("orderkey_strict"),
-    )
-
-
-@_q(
-    "asof_join_tolerance",
-    """
-    SELECT e.event_id,
-           arg_max(o.o_orderkey, epoch(o.o_orderdate)::BIGINT * 10000000 + o.o_orderkey) AS orderkey_asof,
-           arg_max(o.o_totalprice, epoch(o.o_orderdate)::BIGINT * 10000000 + o.o_orderkey) AS totalprice_asof
-    FROM events e
-    LEFT JOIN orders o
-      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
-         AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
-    GROUP BY e.event_id
-    """,
-)
-def q_asof_join_tolerance(spark, sf_dir):
-    """as-of join with a 30-day staleness tolerance (pandas merge_asof
-    tolerance analogue): a matched order older than 30 days yields
-    nulls — same single-shuffle union+window plan, row-local age
-    predicate on the forward-filled dim timestamp."""
-    ev = _t(spark, sf_dir, "events")
-    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
-    out = asof.asof_join(
-        ev, orders, on="user_id", fact_ts="ts", dim_ts="o_orderdate",
-        payload=["o_orderkey", "o_totalprice"], dim_order=["o_orderkey"],
-        tolerance_seconds=30 * 86400,
-    )
-    return out.select(
-        "event_id",
-        F.col("o_orderkey_asof").alias("orderkey_asof"),
-        F.col("o_totalprice_asof").alias("totalprice_asof"),
+        F.col("o_orderkey_tol").alias("orderkey_tol"),
+        F.col("o_totalprice_tol").alias("totalprice_tol"),
     )
 
 
@@ -1336,18 +1326,46 @@ def q_embedding_topk(spark, sf_dir):
 # Text analysis (training-data pipeline ops)
 # =====================================================================
 
-@_q(
-    "text_quality",
-    r"""
-    WITH s AS (
+def _text_quality_oracle_sql() -> str:
+    """DuckDB twin incl. the PII columns: the md5-keyed augmented text
+    (TX.PII_SAMPLES — shared constants generate BOTH engines' CASE),
+    per-rule counts and the chained scrub (TX.PII_RULES, RE2 == Java
+    on these ASCII-only patterns), all from the same constants the
+    Spark side compiles."""
+    sample_case = "\n                  ".join(
+        f"WHEN '{k}' THEN text || '{v}'" for k, v in TX.PII_SAMPLES.items()
+    )
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(aug, '{pat}'))::BIGINT AS n_pii_{name}"
+        for name, pat, _ in TX.PII_RULES
+    )
+    scrub = "aug"
+    for _, pat, token in TX.PII_RULES:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    return (
+        _TEXT_QUALITY_ORACLE_BASE
+        .replace("__PII_SAMPLE_CASE__", sample_case)
+        .replace("__PII_COUNTS__", counts)
+        .replace("__PII_SCRUB__", scrub)
+    )
+
+
+_TEXT_QUALITY_ORACLE_BASE = r"""
+    WITH a AS (
       SELECT doc_id, text,
+             CASE substr(md5(doc_id::VARCHAR), 1, 1)
+                  __PII_SAMPLE_CASE__
+                  ELSE text END AS aug
+      FROM documents
+    ), s AS (
+      SELECT doc_id, text, aug,
              CASE WHEN trim(text) = '' THEN 0
                   ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
              len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
              CASE WHEN trim(text) = '' THEN 0
                   ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
                        t -> list_contains(['the','a','and','of','to','in','is','on','for'], lower(t)))) END AS n_stop
-      FROM documents
+      FROM a
     ), c AS (
       SELECT doc_id,
              CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END AS toks
@@ -1369,19 +1387,34 @@ def q_embedding_topk(spark, sf_dir):
                 WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
                 WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
                 WHEN c_es >= c_fr THEN 'es'
-                ELSE 'fr' END AS lang_pred
+                ELSE 'fr' END AS lang_pred,
+           __PII_COUNTS__,
+           md5(__PII_SCRUB__) AS scrub_md5
     FROM s JOIN l ON l.doc_id = s.doc_id
-    """,
-)
+    """
+
+
+@_q("text_quality", _text_quality_oracle_sql())
 def q_text_quality(spark, sf_dir):
     """text quality scoring components (token count, punct ratio,
     stopword ratio) + language-ID stopword heuristic (argmax,
-    alphabetical tie-break) — all row-wise native over one documents
-    scan."""
+    alphabetical tie-break) + PII detection/redaction (TX.PII_RULES:
+    email / IPv4 / SSN-shaped id counts and the chained typed-token
+    scrub, value-pinned via md5 of the scrubbed string) — all
+    row-wise native over one documents scan. The synthetic corpus has
+    no natural PII, so an md5-keyed sample (TX.PII_SAMPLES, same
+    constants on both engines) is appended first so every rule fires
+    both ways on real rows."""
     docs = _t(spark, sf_dir, "documents")
-    # two-phase lang-id: materialize the single-pass counts array in
-    # its own projection so max + argmax don't re-run the aggregate
-    staged = docs.select("doc_id", "text", TX.lang_counts("text").alias("__lc"))
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    aug = F.col("text")
+    for k, v in TX.PII_SAMPLES.items():
+        aug = F.when(nib == k, F.concat(F.col("text"), F.lit(v))).otherwise(aug)
+    # two-phase: materialize the augmented text + the single-pass
+    # lang-counts array so downstream exprs don't re-run them
+    staged = docs.select(
+        "doc_id", "text", aug.alias("__aug"), TX.lang_counts("text").alias("__lc")
+    )
     return staged.select(
         "doc_id",
         TX.token_count("text").alias("token_count"),
@@ -1389,6 +1422,11 @@ def q_text_quality(spark, sf_dir):
         F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
         F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
         TX.lang_id_from_counts("__lc").alias("lang_pred"),
+        *[
+            TX.pii_count("__aug", pat).cast("bigint").alias(f"n_pii_{name}")
+            for name, pat, _ in TX.PII_RULES
+        ],
+        F.md5(TX.pii_scrub("__aug")).alias("scrub_md5"),
     )
 
 
@@ -2235,37 +2273,112 @@ def q_session_window_agg(spark, sf_dir):
     )
 
 
-@_q("gbdt_train_score")  # iterative training loop: rows-only
+_GBDT_DUMP_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "cookieblock_consent_classifier_spark", "data", "gbdt_dump_sf001.json",
+)
+
+
+def gbdt_train_rows_and_dump(spark, sf_dir):
+    """The ONE training-input + params definition shared by the
+    driver query, the freeze script (scripts/freeze_gbdt_dump.py),
+    and the determinism pin (tests/test_gbdt.py) — so the frozen
+    oracle artifact cannot drift from what the query trains."""
+    from cookieblock_consent_classifier_spark.operators import gbdt
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    rows = emb.select(
+        F.col("vec_id").alias("row_id"),
+        F.sequence(F.lit(0), F.lit(dim - 1)).cast("array<int>").alias("indices"),
+        F.col("embedding").cast("array<double>").alias("values"),
+        F.pmod("label", F.lit(4)).cast("int").alias("label"),
+    ).localCheckpoint(eager=True)
+    dump = gbdt.train_gbdt(
+        rows, gbdt.GBDTParams(num_rounds=2, max_depth=2, n_bins=8)
+    )
+    return rows, dump
+
+
+def _gbdt_oracle_sql() -> str | None:
+    """DuckDB twin for ``gbdt_train_score``: scores the FROZEN
+    reference dump (scripts/freeze_gbdt_dump.py — the byte-exact
+    artifact the deterministic trainer reproduces at sf0.01, pinned
+    in tests/test_gbdt.py) through generated CASE trees
+    (xgb.forest_margin_sql: same literals, same branch order), then
+    replays the plain-exp softmax, the EQUAL_LOSS bayesian decision
+    (left-to-right d-sums, <=-chain first-min — the proven
+    predict_histogram pattern), and the 0..3-left-joined histogram.
+    The oracle is INDEPENDENT of the live run: if training ever
+    drifts from the frozen dump, predictions shift and the value
+    hash catches it."""
+    try:
+        with open(_GBDT_DUMP_PATH, encoding="utf-8") as fd:
+            dump = json.load(fd)
+    except FileNotFoundError:
+        return None  # pre-freeze bootstrap: query stays rows-only
+    from cookieblock_consent_classifier_spark import xgb
+
+    forests = xgb.class_forests_full(dump, 4)
+    margins = xgb.forest_margin_sql(
+        forests, lambda i: f"CAST(embedding[{i + 1}] AS DOUBLE)"
+    )
+    m_cols = ",\n         ".join(f"{m} AS m{j}" for j, m in enumerate(margins))
+    # first-max MARGIN argmax, not an exp-softmax bayes replay: under
+    # EQUAL_LOSS the two are identical tie-for-tie (xgb.argmax_first
+    # docstring; softmax is strictly monotone), and margins are exact
+    # doubles in BOTH engines (identical literals, left-assoc sums)
+    # while exp() may differ by 1 ulp across engines — the proven
+    # bayes_decision/xgb_pred pattern.
+    return f"""
+WITH s AS (
+  SELECT CAST(label % 4 AS INT) AS label, embedding
+  FROM embeddings
+), m AS (
+  SELECT label,
+         {m_cols}
+  FROM s
+), p AS (
+  SELECT label,
+         CASE WHEN m0 >= m1 AND m0 >= m2 AND m0 >= m3 THEN 0
+              WHEN m1 >= m2 AND m1 >= m3 THEN 1
+              WHEN m2 >= m3 THEN 2 ELSE 3 END AS predicted_label
+  FROM m
+), h AS (
+  SELECT predicted_label, count(*)::BIGINT AS n,
+         round(avg(CASE WHEN label = predicted_label THEN 1.0 ELSE 0.0 END), 6)
+           AS class_precision
+  FROM p GROUP BY predicted_label
+)
+SELECT l.predicted_label,
+       coalesce(h.n, 0)::BIGINT AS n,
+       coalesce(h.class_precision, -1.0) AS class_precision
+FROM (VALUES (0), (1), (2), (3)) AS l(predicted_label)
+LEFT JOIN h USING (predicted_label)
+"""
+
+
+@_q("gbdt_train_score", _gbdt_oracle_sql())
 def q_gbdt_train_score(spark, sf_dir):
     """train → dump → score in one engine (operators/gbdt.py +
     xgb.py, no GBDT library): fit a small boosted forest on the
     embeddings table (components as sparse features, label % 4 as
     class), emit the reference-format dump, score it back with the
     native dump scorer, return the per-class prediction histogram
-    with per-class accuracy. Iterative (no SQL twin) so rows-only in
-    the gate — but since round 5 training is RUN-DETERMINISTIC
-    (decimal histogram sums + stable tie-break, gbdt.py; byte-equal
-    dump pinned in tests/test_gbdt.py) and the output left-joins a
-    literal 0..3 label frame, both the 4-row shape AND the values are
-    stable across runs (a class absent from predictions shows n=0
-    instead of dropping its row)."""
+    with per-class accuracy. Training is RUN-DETERMINISTIC (decimal
+    histogram sums + stable tie-break, gbdt.py; byte-equal dump
+    pinned in tests/test_gbdt.py), so since round 5 the query is
+    VALUE-GATED: the DuckDB twin (_gbdt_oracle_sql) independently
+    scores the frozen sf0.01 dump artifact that this live training
+    run must reproduce — any trainer drift breaks the hash. The
+    output left-joins a literal 0..3 label frame so the 4-row shape
+    is stable (a class absent from predictions shows n=0)."""
     from cookieblock_consent_classifier_spark import predict as P, xgb
-    from cookieblock_consent_classifier_spark.operators import gbdt
 
     key = ("gbdt_train_score", id(spark))
     cached = _PLAN_CACHE.get(key)
     if cached is None:
-        emb = _t(spark, sf_dir, "embeddings")
-        dim = len(emb.select("embedding").first()["embedding"])
-        rows = emb.select(
-            F.col("vec_id").alias("row_id"),
-            F.sequence(F.lit(0), F.lit(dim - 1)).cast("array<int>").alias("indices"),
-            F.col("embedding").cast("array<double>").alias("values"),
-            F.pmod("label", F.lit(4)).cast("int").alias("label"),
-        ).localCheckpoint(eager=True)
-        dump = gbdt.train_gbdt(
-            rows, gbdt.GBDTParams(num_rounds=2, max_depth=2, n_bins=8)
-        )
+        rows, dump = gbdt_train_rows_and_dump(spark, sf_dir)
         xgb.validate_full_dump(dump, 4)
         scored = P.predict(rows, score_fn=xgb.dump_score_fn(dump), loss=P.EQUAL_LOSS)
         hist = scored.groupBy("predicted_label").agg(

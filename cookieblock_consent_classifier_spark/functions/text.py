@@ -217,3 +217,50 @@ def hex_to_long(hex15: Column) -> Column:
     range). Shared by minhash / phash derivations; DuckDB oracle twin:
     CAST('0x'||h AS BIGINT)."""
     return F.conv(hex15, 16, 10).cast("long")
+
+
+# -- PII detection / redaction ----------------------------------------
+# Standard pre-training scrub pass (emails, IPv4 addresses, SSN-shaped
+# ids). Patterns restricted to syntax with IDENTICAL semantics in Java
+# regex (Spark, JVM-side regexp_count/regexp_replace) and RE2 (the
+# DuckDB oracle): ASCII character classes, bounded quantifiers, \b —
+# no backrefs, no lookaround.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_ID = r"\b\d{3}-\d{2}-\d{4}\b"
+
+# applied in order; earlier replacements cannot create later matches
+# (the tokens carry no digits or '@')
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", PII_EMAIL, "<EMAIL>"),
+    ("ipv4", PII_IPV4, "<IP>"),
+    ("id", PII_ID, "<ID>"),
+]
+
+# deterministic PII injection for tests/oracles: the synthetic corpus
+# carries no natural PII, so queries append one of these (keyed on an
+# md5 nibble of doc_id) IDENTICALLY in both engines before scrubbing —
+# every rule fires both ways on real rows (cf. the events value
+# branches in sources/readers.py).
+PII_SAMPLES: dict[str, str] = {
+    "8": " contact bob.smith+test@mail.example.org now",
+    "9": " node at 192.168.001.042 responded",
+    "a": " ref 123-45-6789 filed",
+    "b": " cc alice@example.com and 10.0.0.7",
+}
+
+
+def pii_count(col: str | Column, pattern: str) -> Column:
+    """Occurrences of one PII pattern (JVM regexp_count — scan-speed,
+    no Python)."""
+    return F.regexp_count(_c(col), F.lit(pattern))
+
+
+def pii_scrub(col: str | Column) -> Column:
+    """Redact all PII_RULES occurrences with their typed tokens, in
+    rule order — one chained JVM regexp_replace pass."""
+    c = _c(col)
+    for _, pat, token in PII_RULES:
+        c = F.regexp_replace(c, pat, token)
+    return c

@@ -48,6 +48,7 @@ def asof_join(
     suffix: str = "_asof",
     tolerance_seconds: float | None = None,
     also_strict_suffix: str | None = None,
+    also_tolerance_suffix: str | None = None,
 ) -> DataFrame:
     """Return ``fact`` with ``<payload>{suffix}`` columns attached
     point-in-time-correctly. Facts with no prior dim state get nulls.
@@ -65,16 +66,33 @@ def asof_join(
     exchange; only a second sort order differs (dim-after-fact at
     equal ts), so the plan is Exchange → Sort → Window → Sort →
     Window — still a single shuffle. Only valid with strict=False.
+
+    ``also_tolerance_suffix``: attach
+    ``<payload><also_tolerance_suffix>`` columns carrying the
+    staleness-cut variant ALONGSIDE the raw inclusive columns (the
+    tolerance check is a row-local predicate over the already-filled
+    state, so this adds zero sorts and zero shuffles). Requires
+    ``tolerance_seconds``; composes with ``also_strict_suffix``
+    (inclusive + strict + tolerance, all from the ONE exchange).
     """
     if not payload:
         raise ValueError("payload columns required")
     if also_strict_suffix is not None and strict:
         raise ValueError("also_strict_suffix requires strict=False")
-    if also_strict_suffix is not None and tolerance_seconds is not None:
-        # the staleness cut applies to the inclusive columns only; a
-        # silent combination would return leakage-safe inclusive
-        # columns next to stale strict ones
-        raise ValueError("also_strict_suffix does not compose with tolerance_seconds")
+    if also_tolerance_suffix is not None and tolerance_seconds is None:
+        raise ValueError("also_tolerance_suffix requires tolerance_seconds")
+    if (
+        also_strict_suffix is not None
+        and tolerance_seconds is not None
+        and also_tolerance_suffix is None
+    ):
+        # the in-place staleness cut applies to the inclusive columns
+        # only; a silent combination would return leakage-safe
+        # inclusive columns next to stale strict ones. Name the
+        # tolerance columns (also_tolerance_suffix) to combine.
+        raise ValueError(
+            "also_strict_suffix + tolerance_seconds need also_tolerance_suffix"
+        )
 
     fact_cols = fact.columns
     fact_tag, dim_tag = (1, 0) if not strict else (0, 1)
@@ -140,9 +158,20 @@ def asof_join(
             F.unix_micros(F.col(fact_ts).cast("timestamp"))
             - F.unix_micros(F.col("__asof_ts").cast("timestamp"))
         ) <= F.lit(int(tolerance_seconds * 1_000_000))
-        for p in payload:
-            filled = filled.withColumn(f"{p}{suffix}", F.when(age_ok, F.col(f"{p}{suffix}")))
+        if also_tolerance_suffix is not None:
+            for p in payload:
+                filled = filled.withColumn(
+                    f"{p}{also_tolerance_suffix}",
+                    F.when(age_ok, F.col(f"{p}{suffix}")),
+                )
+        else:
+            for p in payload:
+                filled = filled.withColumn(
+                    f"{p}{suffix}", F.when(age_ok, F.col(f"{p}{suffix}"))
+                )
     out_cols = fact_cols + [f"{p}{suffix}" for p in payload]
     if also_strict_suffix is not None:
         out_cols += [f"{p}{also_strict_suffix}" for p in payload]
+    if also_tolerance_suffix is not None:
+        out_cols += [f"{p}{also_tolerance_suffix}" for p in payload]
     return filled.filter(F.col("__tag") == fact_tag).select(*out_cols)

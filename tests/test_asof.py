@@ -165,3 +165,61 @@ def test_asof_also_strict_single_pass(spark, fact, dim):
     plan = plan.split("== Initial Plan ==")[0]
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange == 1, plan
+
+
+def test_asof_triple_mode_single_pass(spark, fact, dim):
+    """inclusive + strict + tolerance columns from ONE pass
+    (also_strict_suffix + also_tolerance_suffix): values match three
+    separate runs and the plan still carries exactly one exchange."""
+    tol = 12.0  # seconds: ts=30 fact vs dim at 25 ok (5s), vs 5 stale
+    combo = asof_join(
+        fact, dim, on="entity", fact_ts="ts", dim_ts="ts",
+        payload=["state"], also_strict_suffix="_strict",
+        tolerance_seconds=tol, also_tolerance_suffix="_tol",
+    )
+    incl = asof_join(fact, dim, on="entity", payload=["state"])
+    strict = asof_join(fact, dim, on="entity", payload=["state"], strict=True)
+    tol_only = asof_join(
+        fact, dim, on="entity", payload=["state"], tolerance_seconds=tol
+    )
+    got = {
+        r["fid"]: (r["state_asof"], r["state_strict"], r["state_tol"])
+        for r in combo.collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == {
+        r["fid"]: r["state_asof"] for r in incl.collect()
+    }
+    assert {k: v[1] for k, v in got.items()} == {
+        r["fid"]: r["state_asof"] for r in strict.collect()
+    }
+    assert {k: v[2] for k, v in got.items()} == {
+        r["fid"]: r["state_asof"] for r in tol_only.collect()
+    }
+    # the tolerance column must differ from the raw inclusive one
+    # somewhere (fid=0: v5 at age 5s <= 12s ok; fid=1: v20 age 0 ok;
+    # fid=2: v25 age 5 ok — adjust tol to force a stale cut)
+    tight = asof_join(
+        fact, dim, on="entity", payload=["state"],
+        also_strict_suffix="_strict",
+        tolerance_seconds=3.0, also_tolerance_suffix="_tol",
+    )
+    trow = {r["fid"]: (r["state_asof"], r["state_tol"]) for r in tight.collect()}
+    assert trow[0] == ("v5", None)      # age 5s > 3s: tol nulls, incl keeps
+    assert trow[1] == ("v20", "v20")    # age 0: both keep
+
+    plan = combo._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_tolerance_suffix_requires_tolerance(spark, fact, dim):
+    with pytest.raises(ValueError, match="requires tolerance_seconds"):
+        asof_join(
+            fact, dim, on="entity", payload=["state"],
+            also_tolerance_suffix="_tol",
+        )
+    with pytest.raises(ValueError, match="also_tolerance_suffix"):
+        asof_join(
+            fact, dim, on="entity", payload=["state"],
+            also_strict_suffix="_strict", tolerance_seconds=5.0,
+        )

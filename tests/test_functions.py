@@ -219,3 +219,49 @@ def test_csv_sniffer_parity(spark):
         except csv.Error:
             exp = (None, None)
         assert (g["delim_idx"], g["num_tokens"]) == exp, v
+
+
+def test_pii_scrub_and_counts(spark):
+    """PII rules (functions/text.py): counts + chained typed-token
+    redaction, both polarities, exact expected strings (the
+    text_quality oracle hashes the scrubbed string so this pins the
+    same bytes DuckDB must produce)."""
+    import re
+
+    from cookieblock_consent_classifier_spark.functions import text as TX
+
+    cases = [
+        ("mail bob.smith+test@mail.example.org now", 1, 0, 0,
+         "mail <EMAIL> now"),
+        ("node 192.168.001.042 and 10.0.0.7 up", 0, 2, 0,
+         "node <IP> and <IP> up"),
+        ("ref 123-45-6789 filed", 0, 0, 1, "ref <ID> filed"),
+        ("a@b.cd via 1.2.3.4 id 987-65-4321", 1, 1, 1,
+         "<EMAIL> via <IP> id <ID>"),
+        ("no pii here 1234 x192.168.0.1", 0, 0, 0,
+         "no pii here 1234 x192.168.0.1"),
+        ("", 0, 0, 0, ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, *_) in enumerate(cases)], ["i", "t"]
+    )
+    out = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            *[
+                TX.pii_count("t", pat).alias(f"n_{name}")
+                for name, pat, _ in TX.PII_RULES
+            ],
+            TX.pii_scrub("t").alias("scrubbed"),
+        ).collect()
+    }
+    for i, (t, n_em, n_ip, n_id, want) in enumerate(cases):
+        r = out[i]
+        assert (r["n_email"], r["n_ipv4"], r["n_id"]) == (n_em, n_ip, n_id), t
+        assert r["scrubbed"] == want, t
+        # cross-check vs Python re (Java-regex semantics twin)
+        s = t
+        for _, pat, token in TX.PII_RULES:
+            s = re.sub(pat, token, s)
+        assert s == want, t

@@ -229,3 +229,25 @@ def test_empty_edges_short_circuits_to_leaf_trees(spark):
     dump = gbdt.train_gbdt(df, gbdt.GBDTParams(num_rounds=1, max_depth=2))
     xgb.validate_full_dump(dump, 4)
     assert all("leaf" in t and "children" not in t for t in dump)
+
+
+def test_sf001_training_reproduces_frozen_oracle_dump(spark):
+    """The gbdt_train_score DuckDB oracle scores a FROZEN dump
+    artifact (cookieblock_consent_classifier_spark/data/
+    gbdt_dump_sf001.json, written by scripts/freeze_gbdt_dump.py);
+    the driver query trains LIVE on the same sf0.01 tables. This pin
+    is the early-warning twin of that gate: live training must
+    reproduce the frozen artifact byte-for-byte. If it fails, either
+    the trainer changed (re-freeze deliberately and commit the diff)
+    or determinism regressed (fix the trainer)."""
+    import json
+    import os
+
+    import __spark_entry__ as entrymod
+
+    if not os.path.exists(entrymod._GBDT_DUMP_PATH):
+        pytest.skip("frozen dump not yet generated (run scripts/freeze_gbdt_dump.py)")
+    with open(entrymod._GBDT_DUMP_PATH, encoding="utf-8") as fd:
+        frozen = json.load(fd)
+    _, live = entrymod.gbdt_train_rows_and_dump(spark, "/root/testdata/sf0.01")
+    assert json.dumps(live, sort_keys=True) == json.dumps(frozen, sort_keys=True)
