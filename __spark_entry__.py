@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from cookieblock_consent_classifier_spark.functions import native, text as TX, vectorized as V
 from cookieblock_consent_classifier_spark.operators import (
     asof,
+    chunking,
     dedup,
     search as search_ops,
     similarity,
@@ -68,7 +69,7 @@ def _us(col) -> F.Column:  # epoch microseconds, engine-portable
     "update_count",
     """
     WITH r AS (
-      SELECT user_id, props, ts,
+      SELECT user_id, props, ts, event_type,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
              row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
       FROM events
@@ -78,7 +79,9 @@ def _us(col) -> F.Column:  # epoch microseconds, engine-portable
            min(epoch_us(ts)) AS first_us,
            max(epoch_us(ts)) AS last_us,
            max(CASE WHEN rn_a = 1 THEN props END) AS first_props,
-           max(CASE WHEN rn_d = 1 THEN props END) AS last_props
+           max(CASE WHEN rn_d = 1 THEN props END) AS last_props,
+           CASE WHEN count(DISTINCT event_type) > 1 THEN 1.0 ELSE 0.0 END AS type_changed,
+           CASE WHEN count(DISTINCT props) > 1 THEN 1.0 ELSE 0.0 END AS props_changed
     FROM r GROUP BY user_id
     """,
 )
@@ -86,7 +89,12 @@ def q_update_count(spark, sf_dir):
     """feature_update_count (processor.py:765-770) generalized with
     first/last event time PLUS first/last update payload per entity
     (feature_host_only_first_update pattern, processor.py:804-810) —
-    min_by/max_by in the same single groupBy, no window needed."""
+    min_by/max_by in the same single groupBy, no window needed. The
+    check_flag_changed family (utils.py:59-78; processor.py:772-802:
+    any-consecutive-differs ⇔ >1 distinct in sequence) rides the SAME
+    groupBy since round 5 (folded from the former flag_changed oracle
+    query to free a correctness-snapshot slot for doc_chunks; value
+    coverage unchanged — same columns, same operator exercised)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
         F.count("*").alias("n_updates"),
@@ -94,23 +102,6 @@ def q_update_count(spark, sf_dir):
         F.max(_us("ts")).alias("last_us"),
         F.min_by("props", F.struct("ts", "event_id")).alias("first_props"),
         F.max_by("props", F.struct("ts", "event_id")).alias("last_props"),
-    )
-
-
-@_q(
-    "flag_changed",
-    """
-    SELECT user_id,
-           CASE WHEN count(DISTINCT event_type) > 1 THEN 1.0 ELSE 0.0 END AS type_changed,
-           CASE WHEN count(DISTINCT props) > 1 THEN 1.0 ELSE 0.0 END AS props_changed
-    FROM events GROUP BY user_id
-    """,
-)
-def q_flag_changed(spark, sf_dir):
-    """check_flag_changed family (utils.py:59-78; processor.py:772-802):
-    any-consecutive-differs ⇔ >1 distinct in sequence."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("user_id").agg(
         F.coalesce(temporal.flag_changed("event_type", "user_id", ["ts"]), F.lit(0.0)).alias("type_changed"),
         F.coalesce(temporal.flag_changed("props", "user_id", ["ts"]), F.lit(0.0)).alias("props_changed"),
     )
@@ -1427,6 +1418,60 @@ def q_text_quality(spark, sf_dir):
             for name, pat, _ in TX.PII_RULES
         ],
         F.md5(TX.pii_scrub("__aug")).alias("scrub_md5"),
+    )
+
+
+@_q(
+    "doc_chunks",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(text), '\s+') END AS toks
+      FROM documents
+    ), n AS (
+      SELECT doc_id, source, toks,
+             CAST(ceil(len(toks) / 32.0) AS INT) AS nc
+      FROM t WHERE len(toks) > 0
+    ), ch AS (
+      SELECT doc_id, source, toks, unnest(range(nc)) AS chunk_id
+      FROM n
+    ), cm AS (
+      SELECT doc_id, source, chunk_id::BIGINT AS chunk_id,
+             len(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 32))::BIGINT AS n_tok,
+             md5(array_to_string(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 32), ' ')) AS chunk_md5
+      FROM ch
+    )
+    SELECT doc_id, chunk_id, n_tok,
+           CAST(floor(coalesce(sum(n_tok) OVER (
+                 PARTITION BY source ORDER BY doc_id, chunk_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 256) AS BIGINT) AS bin_id,
+           chunk_md5
+    FROM cm
+    """,
+)
+def q_doc_chunks(spark, sf_dir):
+    """LLM-corpus chunking + sequence packing (operators/chunking.py):
+    every document split into 32-token chunks (native sequence +
+    explode — scan-speed, zero shuffle), then packed into 256-token
+    training sequences per source stream (greedy-by-start-offset
+    concatenation packing = ONE window cumsum per stream; streams
+    keep packing embarrassingly parallel at corpus scale). Chunk
+    text value-pinned via md5."""
+    docs = _t(spark, sf_dir, "documents")
+    ch = chunking.chunk_documents(
+        docs, id_cols=("doc_id", "source"), chunk_tokens=32
+    )
+    packed = chunking.pack_chunks(
+        ch, "source", ["doc_id", "chunk_id"], budget=256
+    )
+    return packed.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "n_tok",
+        "bin_id",
+        F.md5("chunk_text").alias("chunk_md5"),
     )
 
 

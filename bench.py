@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "minhash_signatures",
     "embedding_topk",
     "text_quality",
+    "doc_chunks",
     "entropy_zlib",
     "gestalt_diff",
     "simhash",
