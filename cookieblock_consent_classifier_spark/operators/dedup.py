@@ -281,9 +281,15 @@ def simhash48(text_col: str | Column) -> Column:
     sign of Σ_tokens (±1 by bit j of md5(token)).
 
     Fully native (one md5 per token, one aggregate over the token
-    array): token hashes < 2^48 so bit extraction via exact double
-    division by 2^j avoids shift-by-column (unsupported). No Python,
-    no shuffle — scan-speed per row."""
+    array). Bit extraction is ``(h >> j) & 1`` with the 48 shift
+    amounts unrolled as Python literals — shiftright takes no Column
+    shift amount, and the former workaround (exact double division by
+    2^j inside a sequence-transform, value-identical for non-negative
+    h < 2^48) cost a pow+floor+pmod in interpreted-HOF doubles per
+    token-bit; integer shifts measured 1.44x end-to-end on the sf0.1
+    fingerprint job (interleaved A/B min-of-3 at idle, values pinned
+    identical — the per-token md5 dominates the remainder). No
+    Python, no shuffle — scan-speed per row."""
     toks = F.array_distinct(F.split(normalize_text(text_col), r"\s+"))
     hashes = F.transform(
         toks,
@@ -291,11 +297,11 @@ def simhash48(text_col: str | Column) -> Column:
     )
 
     def bits_of(h: Column) -> Column:
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-            lambda j: F.pmod(
-                F.floor(h.cast("double") / F.pow(F.lit(2.0), j.cast("double"))), F.lit(2)
-            ).cast("int"),
+        return F.array(
+            *[
+                F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int")
+                for j in range(SIMHASH_BITS)
+            ]
         )
 
     votes = F.aggregate(
