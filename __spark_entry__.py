@@ -2420,7 +2420,10 @@ def q_gbdt_train_score(spark, sf_dir):
     is stable (a class absent from predictions shows n=0)."""
     from cookieblock_consent_classifier_spark import predict as P, xgb
 
-    key = ("gbdt_train_score", id(spark))
+    # sf_dir is part of the key: the training input (and so the
+    # trained model) is sf-dependent, unlike the synthetic-input
+    # pipelines below
+    key = ("gbdt_train_score", id(spark), sf_dir)
     cached = _PLAN_CACHE.get(key)
     if cached is None:
         rows, dump = gbdt_train_rows_and_dump(spark, sf_dir)
