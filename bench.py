@@ -43,8 +43,7 @@ from cookieblock_consent_classifier_spark.session import get_spark
 # the per-round benchmark suite: flagship pipeline + the heaviest
 # operator families (temporal window, as-of, dedup, similarity, text)
 BENCH_QUERIES = [
-    "update_count",
-    "flag_changed",
+    "update_count",  # carries the folded flag_changed columns since r5
     "time_diff_stats",
     "slot_pivot",
     "sessionize",

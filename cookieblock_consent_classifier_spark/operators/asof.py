@@ -158,17 +158,12 @@ def asof_join(
             F.unix_micros(F.col(fact_ts).cast("timestamp"))
             - F.unix_micros(F.col("__asof_ts").cast("timestamp"))
         ) <= F.lit(int(tolerance_seconds * 1_000_000))
-        if also_tolerance_suffix is not None:
-            for p in payload:
-                filled = filled.withColumn(
-                    f"{p}{also_tolerance_suffix}",
-                    F.when(age_ok, F.col(f"{p}{suffix}")),
-                )
-        else:
-            for p in payload:
-                filled = filled.withColumn(
-                    f"{p}{suffix}", F.when(age_ok, F.col(f"{p}{suffix}"))
-                )
+        # named tolerance columns when requested, else cut in place
+        out_suffix = also_tolerance_suffix or suffix
+        for p in payload:
+            filled = filled.withColumn(
+                f"{p}{out_suffix}", F.when(age_ok, F.col(f"{p}{suffix}"))
+            )
     out_cols = fact_cols + [f"{p}{suffix}" for p in payload]
     if also_strict_suffix is not None:
         out_cols += [f"{p}{also_strict_suffix}" for p in payload]

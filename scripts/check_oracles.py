@@ -48,6 +48,15 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error {type(e).__name__}: {str(e)[:300]}")
             continue
+        pinned_sf = getattr(entrymod, "ORACLE_SF_PINNED", {}).get(name)
+        if pinned_sf is not None and sf_dir.rstrip("/").split("/")[-1] != pinned_sf:
+            print(
+                f"rows  {name}: {len(sdf)} rows (oracle frozen at {pinned_sf}; "
+                f"rows-only at this sf)"
+            )
+            if len(sdf) == 0:
+                failures.append(name)
+            continue
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (no oracle; rows-only)")
             if len(sdf) == 0:
