@@ -331,7 +331,11 @@ def _encode_entropy_multi(zz: np.ndarray, img_blocks: np.ndarray) -> list[bytes]
         raise ValueError("AC run/size symbol outside the standard table")
     amp = _vec_amp(v, sz)
     lastk = np.zeros(nb, dtype=np.int64)
-    lastk[bi] = k  # duplicate-index scatter keeps the LAST (max) k
+    # nzi is ascending, so the last k per block is also the max; use
+    # ufunc.at (guaranteed per-element application) rather than fancy
+    # assignment, whose duplicate-index write order numpy documents as
+    # unspecified under buffering
+    np.maximum.at(lastk, bi, k)
 
     # direct stream positions — no sort. Unit weight per nonzero =
     # nzrl + 2 (ZRLs, then sym, then amp); per block: 2 DC units,

@@ -115,6 +115,20 @@ MONTH_PAT = (
 )
 URL_PAT = r"(https?://.*\.|www[2-9]?\..*\.)"                  # processor.py:172-173
 HEX_PAT = r"^[0-9a-fA-F]+$"                                   # processor.py:1317-1326
+NUM_PAT = r"^[0-9]+$"  # ASCII-decimal guard; see hex_content docstring
+
+# CPython str.isspace()'s exact accept set: Unicode bidi classes
+# WS/B/S plus category Zs — a CLOSED 29-codepoint list, stable across
+# Python 3.x (enumerated from the unicodedata the reference runs on).
+# Shared by the Catalyst twin (empty_content_ref) and the DuckDB
+# pipeline-oracle twin so both engines test the identical set.
+PY_WS_CODEPOINTS: tuple[int, ...] = (
+    0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20,
+    0x85, 0xA0, 0x1680,
+    0x2000, 0x2001, 0x2002, 0x2003, 0x2004, 0x2005, 0x2006, 0x2007,
+    0x2008, 0x2009, 0x200A, 0x2028, 0x2029, 0x202F, 0x205F, 0x3000,
+)
+PY_WS = "".join(map(chr, PY_WS_CODEPOINTS))
 UUID_PAT = (                                                  # processor.py:170
     r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-([0-9a-fA-F])[0-9a-fA-F]{3}-"
     r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
@@ -151,10 +165,15 @@ def url_content(col: str | Column) -> Column:
 
 def hex_content(col: str | Column) -> Column:
     """feature_hex_content (processor.py:1317-1326): all-hex AND not
-    pure-decimal → ±1 (decimal approximated by ^[0-9]+$ natively; the
-    unicode-exact isnumeric variant lives in functions/vectorized.py)."""
+    unicode-numeric → ±1. REFERENCE-EXACT for every input despite the
+    ASCII decimal guard: the conjunction only consults isnumeric when
+    HEX_PAT already matched, and a ^[0-9a-fA-F]+$ match contains ONLY
+    ASCII hex chars, on which str.isnumeric() ⇔ ^[0-9]+$ (no ASCII
+    letter is Unicode-numeric; isnumeric needs every char numeric).
+    Kernel-parity pinned on the real fixtures + fuzz corpus
+    (tests/test_native_entropy.py); NATIVE_CAPABLE since round 6."""
     c = _c(col)
-    return pm(c.rlike(HEX_PAT) & ~c.rlike(r"^[0-9]+$"))
+    return pm(c.rlike(HEX_PAT) & ~c.rlike(NUM_PAT))
 
 
 def uuid_version_onehot(col: str | Column) -> list[Column]:
@@ -223,10 +242,21 @@ def empty_content(col: str | Column) -> Column:
     """feature_empty_content (processor.py:1376-1384): empty or
     whitespace-only (no URL-decode) → ±1. Engine-surface variant:
     F.trim strips ASCII space only, Python str.isspace() covers
-    tab/newline/unicode spaces — the reference-exact path is the
-    fused kernel's is_empty field, which the compiler uses."""
+    tab/newline/unicode spaces — the reference-exact form is
+    empty_content_ref below (which the compiler uses)."""
     c = _c(col)
     return pm(F.trim(c) == F.lit(""))
+
+
+def empty_content_ref(col: str | Column) -> Column:
+    """REFERENCE-EXACT feature_empty_content (processor.py:1376-1384):
+    Python ``not v or v.isspace()`` ⇔ every char of v lies in
+    str.isspace()'s closed 29-codepoint accept set (PY_WS) — the empty
+    string passes vacuously in both forms. One translate() removing
+    exactly that set, so the plan stays whole-stage codegen.
+    Kernel-parity pinned on the real fixtures + a whitespace-biased
+    fuzz corpus (tests/test_native_entropy.py)."""
+    return pm(F.translate(_c(col), PY_WS, "") == F.lit(""))
 
 
 def js_object_shape(col: str | Column) -> Column:

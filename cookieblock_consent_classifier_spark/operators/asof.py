@@ -81,6 +81,17 @@ def asof_join(
         raise ValueError("also_strict_suffix requires strict=False")
     if also_tolerance_suffix is not None and tolerance_seconds is None:
         raise ValueError("also_tolerance_suffix requires tolerance_seconds")
+    if also_tolerance_suffix is not None and also_tolerance_suffix in (
+        suffix,
+        also_strict_suffix,
+    ):
+        # same suffix would silently overwrite the inclusive (or
+        # strict) columns in place instead of adding a variant
+        raise ValueError(
+            "also_tolerance_suffix must differ from suffix/also_strict_suffix"
+        )
+    if also_strict_suffix is not None and also_strict_suffix == suffix:
+        raise ValueError("also_strict_suffix must differ from suffix")
     if (
         also_strict_suffix is not None
         and tolerance_seconds is not None

@@ -177,6 +177,21 @@ def _per_update_builders(
         (lambda c: [k(c)["dec_len"]]) if use_kernel
         else (lambda c: [F.octet_length(c["nat_dec"]).cast("double")])
     )
+    # RAW-value isspace() semantics (processor.py:1376-1384); native
+    # form is reference-exact (translate over the closed PY_WS set)
+    empty_builder = (
+        (lambda c: [k(c)["is_empty"]]) if use_kernel
+        else (lambda c: [native.empty_content_ref(v(c))])
+    )
+    # all-hex AND not unicode-numeric (processor.py:1317-1326); the
+    # native form's ASCII decimal guard is exact under the hex-regex
+    # conjunction (native.hex_content docstring)
+    hex_builder = (
+        (lambda c: [
+            native.pm(decoded(c).rlike(native.HEX_PAT) & (k(c)["is_numeric"] == -1.0))
+        ]) if use_kernel
+        else (lambda c: [native.hex_content(decoded(c))])
+    )
     return {
         "http_only": lambda c: [native.pm_flag(c["http_only"])],
         "secure": lambda c: [native.pm_flag(c["secure"])],
@@ -198,16 +213,12 @@ def _per_update_builders(
                                    ["csv_num", "csv_hex", "csv_alpha", "csv_alnum", "csv_bool"]],
         "js_contents": lambda c: [k(c)[f] for f in V.JS_CONTENT_FIELDS],
         "numerical_content": lambda c: [k(c)["is_numeric"]],
-        # all-hex AND not unicode-numeric (processor.py:1317-1326)
-        "hex_content": lambda c: [
-            native.pm(decoded(c).rlike(r"^[0-9a-fA-F]+$") & (k(c)["is_numeric"] == -1.0))
-        ],
+        "hex_content": hex_builder,
         "alpha_content": lambda c: [k(c)["is_alpha"]],
         "is_identifier": lambda c: [k(c)["is_ident"]],
         "all_uppercase": lambda c: [k(c)["is_upper"]],
         "all_lowercase": lambda c: [k(c)["is_lower"]],
-        # raw-value isspace() semantics, in the kernel (processor.py:1376-1384)
-        "empty_content": lambda c: [k(c)["is_empty"]],
+        "empty_content": empty_builder,
         # Python \b is unicode-aware, Java's is ASCII — kernel field
         "boolean_content": lambda c: [k(c)["bool_content"]],
         "timestamp_content": lambda c: [native.pm(decoded(c).rlike(native.TIMESTAMP_PAT))],
@@ -238,18 +249,25 @@ KERNEL_PER_UPDATE = frozenset({
 # They ride the fused kernel when it already exists (one more field on
 # the same Arrow pass is free) and fall back to the native expression
 # when nothing else needs the kernel, so schemas like native_schema may
-# include them and still compile to zero Python nodes. Everything here
-# only ever needed the kernel for the Python-unquote decoded string;
+# include them and still compile to zero Python nodes. Most only ever
+# needed the kernel for the Python-unquote decoded string —
 # native.py_unquote (CPython-unquote byte-exact) supplies it natively,
-# and the regex/length/entropy logic on top was native all along. The
-# rest of KERNEL_PER_UPDATE stays kernel-only for real reasons: zlib
-# (compressed_length), csv.Sniffer (csv/delimiter), js2py
-# (js_contents), base64 decode heuristics, and Python unicode
-# semantics (isnumeric/isalpha/isidentifier/case/isspace/\b).
+# and the regex/length/entropy logic on top was native all along.
+# Round 6 added the two with genuinely-Python predicates that turn out
+# closed-form: empty_content (str.isspace ⇔ the 29-codepoint PY_WS
+# translate) and hex_content (isnumeric ⇔ ^[0-9]+$ under the hex-regex
+# conjunction). The rest of KERNEL_PER_UPDATE stays kernel-only for
+# real reasons: zlib (compressed_length), csv.Sniffer (csv/delimiter),
+# js2py (js_contents), base64 decode heuristics, and open-ended Python
+# unicode semantics (isnumeric/isalpha/isidentifier/case/\b).
 NATIVE_CAPABLE_PER_UPDATE = frozenset({
     "shannon_entropy", "content_length", "url_encoding",
     "timestamp_content", "date_content", "contains_uuid", "url_content",
+    "hex_content", "empty_content",
 })
+# native-capable features whose native form reads the RAW value (no
+# decoded string) — they must not force the stage-0 nat_dec column
+NATIVE_RAW_VALUE_PER_UPDATE = frozenset({"empty_content"})
 KERNEL_ONLY_PER_UPDATE = KERNEL_PER_UPDATE - NATIVE_CAPABLE_PER_UPDATE
 
 
@@ -298,6 +316,8 @@ def native_schema(res: Resources, num_updates: int = 2, num_diffs: int = 2) -> F
         FeatureSpec("content_length"),
         FeatureSpec("shannon_entropy"),
         FeatureSpec("url_encoding"),
+        FeatureSpec("hex_content"),
+        FeatureSpec("empty_content"),
         FeatureSpec("timestamp_content"),
         FeatureSpec("date_content"),
         FeatureSpec("contains_uuid", vector_size=6),
@@ -426,7 +446,8 @@ def compile_features(
         "shannon_entropy" in enabled_pu or "entropy_total" in enabled_pe
     )
     need_nat_dec = not need_kernel and (
-        bool(NATIVE_CAPABLE_PER_UPDATE & enabled_pu) or need_nat_entropy
+        bool((NATIVE_CAPABLE_PER_UPDATE - NATIVE_RAW_VALUE_PER_UPDATE) & enabled_pu)
+        or need_nat_entropy
     )
     builders = _per_update_builders(use_kernel=need_kernel)
     if need_kernel:

@@ -75,8 +75,11 @@ _HALF_NIBBLES = ("0", "1", "2", "3", "4", "5", "6", "7")
 # url_encoding fires +1), a unix-epoch 16xxxxxxxx string
 # (timestamp_content), a canonical UUID with an md5-driven version
 # nibble 0-7 (all six contains_uuid one-hot slots incl. "other"), an
-# https URL (url_content), and an ISO date (date_content); the other
-# 11 nibbles fall through to raw props (all of the above −1 / miss).
+# https URL (url_content), an ISO date (date_content), and — round 6,
+# when hex_content/empty_content went native — a letter-bearing
+# mixed-case hex string, a space/tab/newline run, and the empty
+# string; the remaining eight nibbles (0–7) fall through to raw props
+# (all of the above −1 / miss).
 # ESCAPES covers every non-alphanumeric char of the props domain
 # ('{"k": N}'); targets and replacements never overlap, so the
 # encode (char→escape) and decode (escape→char) replace chains are
@@ -148,12 +151,38 @@ def cookie_updates_from_events(events: DataFrame) -> DataFrame:
         F.lit("2021-"), F.lpad(month.cast("string"), 2, "0"),
         F.lit("-"), F.lpad(day.cast("string"), 2, "0"),
     )
+    # round-6 branches (hex_content / empty_content went native):
+    # 'd' — mixed-case hex with a guaranteed letter ('f'), so
+    # hex_content fires +1 (the ts branch '9' is pure-decimal and
+    # already exercises the hex-regex-pass/isnumeric-reject polarity);
+    # 'e' — a varied space/tab/newline run (empty_content +1 via
+    # isspace); 'f' — the empty string (empty_content +1 via `not v`,
+    # plus the content_length=0 / entropy=0 edge on live rows).
+    hex_val = F.concat(
+        F.upper(F.substring(h, 3, 4)), F.lit("f"), F.substring(h, 7, 4)
+    )
+    ws_val = F.concat(
+        F.repeat(
+            F.lit(" "),
+            (F.pmod(F.conv(F.substring(h, 21, 1), 16, 10).cast("long"), F.lit(3)) + 1)
+            .cast("int"),
+        ),
+        F.lit("\t"),
+        F.repeat(
+            F.lit("\n"),
+            F.pmod(F.conv(F.substring(h, 22, 1), 16, 10).cast("long"), F.lit(2))
+            .cast("int"),
+        ),
+    )
     value = (
         F.when(nib(19) == "8", enc)
         .when(nib(19) == "9", ts_val)
         .when(nib(19) == "a", uuid_val)
         .when(nib(19) == "b", url_val)
         .when(nib(19) == "c", date_val)
+        .when(nib(19) == "d", hex_val)
+        .when(nib(19) == "e", ws_val)
+        .when(nib(19) == "f", F.lit(""))
         .otherwise(F.col("props"))
     )
     return events.select(

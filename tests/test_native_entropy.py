@@ -73,6 +73,53 @@ def _fuzz_corpus(n: int = 400) -> list[str]:
     return out
 
 
+def _ws_hex_fuzz(n: int = 250) -> list[str]:
+    """Corpus biased at the empty_content / hex_content decision
+    boundaries: every PY_WS codepoint, hex-ish strings with and
+    without letters / mixed case / %-escapes, and Unicode numerics
+    (isnumeric true, hex regex false — the guard's hard case)."""
+    rng = random.Random(0x5AFE)
+    ws = [chr(c) for c in native.PY_WS_CODEPOINTS]
+    pool = ws + list("0123456789abcdefABCDEF") + ["g", ".", "é", "%20", "%41"]
+    out = [
+        "", " ", "\t", "\n", "\x0b\x0c\r", "\x1c\x1d\x1e\x1f", "\x85",
+        "\xa0", " ", "  ", "  ", "  ",
+        "　", " \t\r\n ", " a ", ".", "deadbeef", "DEADBEEF", "DeAdF00d",
+        "123", "0", "12f", "f", "0x1f", "béef", "123 ", " 123",
+        "１２３",  # fullwidth digits: isnumeric, NOT hex
+        "Ⅻ", "٤٥٦",  # roman numeral / arabic-indic digits: isnumeric
+        "%34%35", "%64%65",  # decode to "45" (numeric) / "de" (hex)
+    ]
+    for _ in range(n):
+        out.append("".join(rng.choice(pool) for _ in range(rng.randint(1, 10))))
+    return out
+
+
+def test_empty_hex_native_match_python(spark):
+    """empty_content_ref == raw-value `not v or v.isspace()` and
+    hex_content(py_unquote) == `HEX_PAT-match AND NOT isnumeric` on
+    the decoded value (the kernel's exact predicates) across the
+    unquote fuzz corpus, the boundary-biased ws/hex corpus, and the
+    edge cases — the NATIVE_CAPABLE promotion evidence for the two
+    round-6 slots."""
+    import re
+
+    corpus = sorted(set(EDGE_CASES + _fuzz_corpus(150) + _ws_hex_fuzz()))
+    df = spark.createDataFrame([(s,) for s in corpus], "v string")
+    rows = df.select(
+        "v",
+        native.empty_content_ref("v").alias("emp"),
+        native.hex_content(native.py_unquote("v")).alias("hx"),
+    ).collect()
+    hex_re = re.compile(native.HEX_PAT)
+    for r in rows:
+        dec = urllib.parse.unquote(r.v)
+        exp_emp = 1.0 if (not r.v or r.v.isspace()) else -1.0
+        exp_hex = 1.0 if (hex_re.search(dec) and not dec.isnumeric()) else -1.0
+        assert r.emp == exp_emp, (r.v, r.emp, exp_emp)
+        assert r.hx == exp_hex, (r.v, dec, r.hx, exp_hex)
+
+
 def test_py_unquote_matches_cpython(spark):
     corpus = EDGE_CASES + _fuzz_corpus()
     df = spark.createDataFrame([(s,) for s in corpus], "v string")

@@ -96,7 +96,7 @@ def test_native_pipeline_plan_is_pure_jvm_single_entity_exchange(pipeline):
 def test_sparse_rows_contract(pipeline, res):
     wide, names = pipeline
     schema = native_schema(res, num_updates=2, num_diffs=2)
-    assert len(names) == schema.total_width == 116
+    assert len(names) == schema.total_width == 120
     rows = wide.limit(20).collect()
     assert rows
     for r in rows:
