@@ -37,15 +37,22 @@ bit-identical — the loop is retained as _encode_entropy_loop, the
 parity target). encode_jpeg_gray_batch amortizes numpy dispatch over
 an Arrow batch: end-to-end corpus encode is ~4.4x round 4. The
 remaining floor is numpy pass overhead (~25 array passes); the
-DECODER stays an intentionally spec-driven per-symbol walk (tables
-parsed from the stream). A production 10^12-image run would still
-swap this module for a native codec; every interface it exposes
-(bytes in, uint8 array out) stays the same.
+DECODER's huffman walk is table-driven since round 6
+(_decode_entropy_fast: one vectorized unstuff pass, a 32-bit window
+per byte so any 16-bit peek is one shift+mask, flat 2^16
+(len<<8|sym) decode tables cached by table content, one vectorized
+coefficient scatter) — still fully spec-driven (tables parsed from
+the DHT segments) and pinned identical to the retained per-symbol
+spec reader (_decode_entropy_loop) on the corpus + fuzz. A
+production 10^12-image run would still swap this module for a native
+codec; every interface it exposes (bytes in, uint8 array out) stays
+the same.
 """
 
 from __future__ import annotations
 
 import struct
+from collections.abc import Sequence
 
 import numpy as np
 
@@ -539,14 +546,191 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+_DECODE16_CACHE: dict[tuple[bytes, bytes], list[int]] = {}
+
+
+def _build_decode16(bits: Sequence[int], vals: Sequence[int]) -> list[int]:
+    """Flat 2^16 decode table: entry[w] for a 16-bit window w whose
+    prefix is a canonical code of length L for symbol s is
+    ``(L << 8) | s``; windows matching no code are 0 (codes are
+    prefix-free and len>=1, so 0 can't collide with a valid entry —
+    a valid entry always has L>=1 in the high byte). ONE list index
+    replaces the per-bit dict probes of the spec reader (up to 16
+    lookups/symbol). Cached by table content: standard-table streams
+    (everything this encoder writes) build it exactly once per
+    process."""
+    key = (bytes(bits), bytes(vals))
+    cached = _DECODE16_CACHE.get(key)
+    if cached is None:
+        packed = np.zeros(1 << 16, dtype=np.int32)
+        for sym, (code, ln) in _build_codes(list(bits), list(vals)).items():
+            lo = code << (16 - ln)
+            packed[lo:lo + (1 << (16 - ln))] = (ln << 8) | sym
+        cached = _DECODE16_CACHE[key] = packed.tolist()
+        if len(_DECODE16_CACHE) > 64:  # corrupt-stream fuzzing guard
+            _DECODE16_CACHE.pop(next(iter(_DECODE16_CACHE)))
+    return cached
+
+
+def _unstuff_scan(scan: bytes) -> bytes:
+    """Entropy-coded segment → raw huffman bytes: cut at the first
+    real marker (0xFF followed by non-zero) and drop the stuffed 0x00
+    after each literal 0xFF (B.1.1.5), both as single vectorized
+    passes instead of the per-byte branch in _BitReader."""
+    arr = np.frombuffer(scan, dtype=np.uint8)
+    if arr.size == 0:
+        return b""
+    marker = np.flatnonzero((arr[:-1] == 0xFF) & (arr[1:] != 0x00))
+    if marker.size:
+        # the 0xFF is the marker's first byte, not entropy data — the
+        # spec reader never consumes it either (it raises if a decode
+        # actually needs bits from here, as does the fast path's
+        # truncation check)
+        arr = arr[: marker[0]]
+    if arr.size and arr[-1] == 0xFF:
+        # dangling 0xFF with nothing after: marker-start or truncation
+        # — the spec reader refuses to consume it too
+        arr = arr[:-1]
+    prev_ff = np.concatenate(([False], arr[:-1] == 0xFF))
+    return arr[~(prev_ff & (arr == 0))].tobytes()
+
+
+def _decode_entropy_fast(
+    scan: bytes,
+    dc_bv: tuple[Sequence[int], Sequence[int]],
+    ac_bv: tuple[Sequence[int], Sequence[int]],
+    nblocks: int,
+) -> np.ndarray:
+    """Table-driven huffman decode (the round-6 answer to the
+    per-symbol _BitReader walk, VERDICT r5 item 2): unstuff once,
+    precompute a 32-bit big-endian window per BYTE (so the 16-bit
+    peek at any BIT position is one shift+mask), and decode each
+    symbol with ONE flat-list lookup — ~4 int ops per symbol instead
+    of up-to-16 dict probes over per-bit accumulator updates.
+    Decoded (block, zigzag-k, value) triples scatter into the
+    coefficient matrix in one vectorized pass at the end.
+    Byte-identical output to _decode_entropy_loop (the retained spec
+    reader) — pinned on the round-trip corpus + fuzz in
+    tests/test_jpeg.py."""
+    data = _unstuff_scan(scan)
+    nbits = 8 * len(data)
+    # 8 pad bytes: the truncation check runs AFTER each symbol, so a
+    # window peek can legally index up to ~2 bytes past the data end
+    # on corrupt/truncated streams before the ValueError fires
+    b = np.frombuffer(data + b"\x00" * 8, dtype=np.uint8).astype(np.uint32)
+    u32 = ((b[:-3] << 24) | (b[1:-2] << 16) | (b[2:-1] << 8) | b[3:]).tolist()
+    dc16 = _build_decode16(*dc_bv)
+    ac16 = _build_decode16(*ac_bv)
+
+    flat_idx: list[int] = []
+    flat_val: list[int] = []
+    append_i, append_v = flat_idx.append, flat_val.append
+    pos = 0
+    prev_dc = 0
+    for blk in range(nblocks):
+        # DC: size symbol, then `size` amplitude bits
+        w = (u32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
+        e = dc16[w]
+        if e == 0:
+            raise ValueError("invalid huffman code")
+        pos += e >> 8
+        size = e & 0xFF
+        if size:
+            a = ((u32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF) >> (16 - size)
+            pos += size
+            if a < (1 << (size - 1)):
+                a += 1 - (1 << size)
+            prev_dc += a
+        if pos > nbits:
+            raise ValueError("truncated entropy-coded segment")
+        append_i(blk * 64)
+        append_v(prev_dc)
+        k = 1
+        while k < 64:
+            w = (u32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
+            e = ac16[w]
+            if e == 0:
+                raise ValueError("invalid huffman code")
+            pos += e >> 8
+            sym = e & 0xFF
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                if pos > nbits:
+                    raise ValueError("truncated entropy-coded segment")
+                continue
+            k += sym >> 4
+            if k > 63:
+                raise ValueError("AC run past block end")
+            size = sym & 0x0F
+            if size:  # size-0 run symbols are non-standard but the
+                # spec reader tolerates them as value 0 — match it
+                a = ((u32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF) >> (16 - size)
+                pos += size
+                if a < (1 << (size - 1)):
+                    a += 1 - (1 << size)
+            else:
+                a = 0
+            if pos > nbits:
+                raise ValueError("truncated entropy-coded segment")
+            append_i(blk * 64 + k)
+            append_v(a)
+            k += 1
+        if pos > nbits:
+            raise ValueError("truncated entropy-coded segment")
+    zz = np.zeros(nblocks * 64, dtype=np.int64)
+    zz[np.asarray(flat_idx, dtype=np.int64)] = flat_val
+    return zz.reshape(nblocks, 64)
+
+
+def _decode_entropy_loop(
+    scan: bytes,
+    dc_bv: tuple[Sequence[int], Sequence[int]],
+    ac_bv: tuple[Sequence[int], Sequence[int]],
+    nblocks: int,
+) -> np.ndarray:
+    """Spec-transcription per-symbol reader (F.2.2) — the parity
+    target _decode_entropy_fast must match byte-for-byte; handles
+    stuffing/marker detection inline via _BitReader."""
+    dc_tbl = _build_decode(list(dc_bv[0]), list(dc_bv[1]))
+    ac_tbl = _build_decode(list(ac_bv[0]), list(ac_bv[1]))
+    zz = np.zeros((nblocks, 64), dtype=np.int64)
+    br = _BitReader(scan)
+    prev_dc = 0
+    for b in range(nblocks):
+        size = br.read_symbol(dc_tbl)
+        prev_dc += _extend(br.read_bits(size), size)
+        zz[b, 0] = prev_dc
+        k = 1
+        while k < 64:
+            sym = br.read_symbol(ac_tbl)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[b, k] = _extend(br.read_bits(size), size)
+            k += 1
+    return zz
+
+
+def decode_jpeg_gray(payload: bytes, _entropy: str = "fast") -> np.ndarray:
     """Baseline JFIF bytes → uint8 (h, w). Single-component baseline
-    only; SOF2 (progressive) and multi-component raise."""
+    only; SOF2 (progressive) and multi-component raise.
+
+    ``_entropy`` selects the huffman decode implementation: "fast"
+    (default — table-driven, _decode_entropy_fast) or "loop" (the
+    per-symbol spec reader, retained as the parity target)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qts: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    huff: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     h = w = None
     comp_qt = comp_dc = comp_ac = 0
     data_start = None
@@ -591,7 +775,7 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 bits = list(body[i + 1:i + 17])
                 nvals = sum(bits)
                 vals = list(body[i + 17:i + 17 + nvals])
-                huff[(tc, th)] = _build_decode(bits, vals)
+                huff[(tc, th)] = (bits, vals)
                 i += 17 + nvals
         elif marker == 0xFFDA:  # SOS
             ns = body[0]
@@ -607,32 +791,10 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     if h is None or data_start is None:
         raise ValueError("missing SOF0/SOS")
     qt = qts[comp_qt]
-    dc_tbl = huff[(0, comp_dc)]
-    ac_tbl = huff[(1, comp_ac)]
-
     nby, nbx = -(-h // 8), -(-w // 8)
     nblocks = nby * nbx
-    zz = np.zeros((nblocks, 64), dtype=np.int64)
-    br = _BitReader(payload[data_start:])
-    prev_dc = 0
-    for b in range(nblocks):
-        size = br.read_symbol(dc_tbl)
-        prev_dc += _extend(br.read_bits(size), size)
-        zz[b, 0] = prev_dc
-        k = 1
-        while k < 64:
-            sym = br.read_symbol(ac_tbl)
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                k += 16
-                continue
-            run, size = sym >> 4, sym & 0x0F
-            k += run
-            if k > 63:
-                raise ValueError("AC run past block end")
-            zz[b, k] = _extend(br.read_bits(size), size)
-            k += 1
+    impl = _decode_entropy_fast if _entropy == "fast" else _decode_entropy_loop
+    zz = impl(payload[data_start:], huff[(0, comp_dc)], huff[(1, comp_ac)], nblocks)
 
     coef = np.zeros((nblocks, 64), dtype=np.int64)
     coef[:, ZIGZAG] = zz  # un-zigzag

@@ -128,19 +128,40 @@ def lsh_bands(
 
 
 def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "id") -> DataFrame:
-    """Self-join within (band, band_key) buckets → distinct candidate
-    pairs (a < b). Only bucket-mates join; shuffle is keyed by the
-    band key so skew from giant buckets is visible to AQE skew-join."""
-    a = bands_df.select(
-        F.col("band"), F.col("band_key"), F.col(id_col).alias("a")
+    """Distinct candidate pairs (a < b) among bucket-mates, via ONE
+    groupBy per (band, band_key) bucket that collects the sorted
+    member ids and explodes the in-bucket combinations natively.
+
+    Round 6 rewrite (was a bucket self-join): the join's two sides
+    were differently-aliased projections of the same bands lineage,
+    which defeats ReuseExchange — the whole shingle→minhash subplan
+    executed once PER SIDE, and the bands rows shuffled twice. The
+    groupBy shape evaluates the signature lineage ONCE and shuffles
+    the (band, key, id) rows once; cross-band repeats collapse in the
+    same final distinct as before. A pathological giant bucket costs
+    O(k²) pairs under either shape (LSH's whole contract is keeping
+    buckets small); here it lands in one task's explode rather than
+    an AQE-splittable join — the accepted cost of single-pass lineage
+    (a bucket-size cap upstream, not AQE, is the real defense)."""
+    buckets = (
+        bands_df.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    b = bands_df.select(
-        F.col("band"), F.col("band_key"), F.col(id_col).alias("b")
+    n = F.size(F.col("ids"))
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            # 2-param HOF lambda = (element, index) in pyspark
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.greatest(n - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
     return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
     )
 

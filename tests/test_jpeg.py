@@ -267,3 +267,79 @@ def test_encode_image_batch_matches_per_image():
     batch = encode_image_batch(pxs, fmts)
     single = [encode_image(px, f) for px, f in zip(pxs, fmts)]
     assert batch == single
+
+
+def test_fast_entropy_decoder_identical_on_corpus():
+    """Round 6 (VERDICT r5 item 2): the table-driven entropy decoder
+    (_decode_entropy_fast: one vectorized unstuff pass, per-byte
+    32-bit windows, flat 2^16 (len<<8|sym) lookup tables, one scatter)
+    must produce IDENTICAL pixels to the retained per-symbol spec
+    reader (_decode_entropy_loop) on every stream of the 112-case
+    corpus — all contents, shapes (incl. non-multiple-of-8), and
+    qualities."""
+    for px, q in _psnr_corpus():
+        enc = jpeg.encode_jpeg_gray(px, quality=q)
+        fast = jpeg.decode_jpeg_gray(enc, _entropy="fast")
+        loop = jpeg.decode_jpeg_gray(enc, _entropy="loop")
+        assert np.array_equal(fast, loop), (px.shape, q)
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(
+    h=st.integers(1, 48),
+    w=st.integers(1, 48),
+    seed=st.integers(0, 2**31 - 1),
+    quality=st.integers(30, 100),
+)
+def test_fast_entropy_decoder_fuzz_identical(h, w, seed, quality):
+    """Arbitrary noise content x shape x quality: fast == spec loop."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    enc = jpeg.encode_jpeg_gray(px, quality=quality)
+    assert np.array_equal(
+        jpeg.decode_jpeg_gray(enc, _entropy="fast"),
+        jpeg.decode_jpeg_gray(enc, _entropy="loop"),
+    )
+
+
+def test_fast_decoder_rejects_truncated_scans():
+    """Truncating the entropy-coded segment must raise ValueError on
+    BOTH decode paths (the fast path's explicit pos>nbits check vs the
+    spec reader's fill/marker errors) — never return garbage pixels
+    silently."""
+    px = synth_pixels("trunc", 7, 32, 32)
+    enc = jpeg.encode_jpeg_gray(px, quality=80)
+    sos = enc.find(b"\xff\xda")
+    assert sos > 0
+    scan_start = sos + 2 + struct.unpack(">H", enc[sos + 2:sos + 4])[0]
+    for cut in (scan_start + 2, scan_start + 8, len(enc) - 12):
+        mutant = enc[:cut] + b"\xff\xd9"
+        for impl in ("fast", "loop"):
+            with pytest.raises(ValueError):
+                jpeg.decode_jpeg_gray(mutant, _entropy=impl)
+
+
+def test_fast_decoder_speedup_on_corpus():
+    """The decode counterpart of the encode speedup pin: table-driven
+    decode vs the per-symbol spec walk over the full 112-case corpus,
+    interleaved A/B min-of-runs so both sides sample the same host
+    contention. Floor 2.5x (measured ~8-10x idle; see
+    BENCH/BASELINE.md §R6)."""
+    import time
+
+    streams = [jpeg.encode_jpeg_gray(px, quality=q) for px, q in _psnr_corpus()]
+    # warm both paths (decode-table cache, numpy)
+    for enc in streams[:4]:
+        jpeg.decode_jpeg_gray(enc, _entropy="fast")
+        jpeg.decode_jpeg_gray(enc, _entropy="loop")
+    t_fast = t_loop = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for enc in streams:
+            jpeg.decode_jpeg_gray(enc, _entropy="fast")
+        t_fast = min(t_fast, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        for enc in streams:
+            jpeg.decode_jpeg_gray(enc, _entropy="loop")
+        t_loop = min(t_loop, time.perf_counter() - t0)
+    assert t_loop / t_fast >= 2.5, (t_loop, t_fast)
