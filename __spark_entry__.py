@@ -1048,25 +1048,47 @@ def q_hash_split_8020(spark, sf_dir):
 @_q(
     "salted_agg",
     """
+    WITH p AS (
+      SELECT user_id,
+             count(value)::BIGINT AS n,
+             CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS s2
+      FROM events GROUP BY user_id
+    )
     SELECT user_id,
-           round(avg(value), 4) AS mean,
-           round(coalesce(stddev_samp(value), -1.0), 4) AS stddev,
-           count(value)::BIGINT AS n
-    FROM events GROUP BY user_id
+           floor(s1 / n * 10000 + 0.5) / 10000 AS mean,
+           floor(CASE WHEN n >= 2
+                      THEN sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0))
+                      ELSE -1.0 END * 10000 + 0.5) / 10000 AS stddev,
+           n
+    FROM p
     """,
 )
 def q_salted_agg(spark, sf_dir):
     """two-phase salted mean/stddev for hot-entity skew
-    (operators/skew.py): algebraically exact (n, Σx, Σx²) merge —
-    must equal the plain aggregation."""
+    (operators/skew.py): algebraically exact (n, Σx, Σx²) merge in
+    DECIMAL(38,12) — must equal the plain aggregation. The twin
+    replays the SAME decimal-sum + double-formula pipeline (a float
+    avg()/stddev_samp() sums in a different order, which flipped one
+    4-dp rounding tie at sf0.1 — decimal sums are exact and
+    order-free in both engines). Rounding is the explicit
+    floor(x·10⁴+0.5)/10⁴ double formula on BOTH sides: 2-dp inputs
+    over power-of-two counts put means EXACTLY on x.xxxx5 midpoints,
+    where Spark's round() (shortest-decimal-string HALF_UP) and
+    DuckDB's round() (binary value) disagree; the shared formula is
+    bit-identical IEEE arithmetic in both engines."""
     from cookieblock_consent_classifier_spark.operators.skew import salted_mean_stddev
 
     ev = _t(spark, sf_dir, "events")
     out = salted_mean_stddev(ev, "user_id", "value", num_salts=8, salt_cols=["event_id"])
+
+    def r4(c):  # floor(x*1e4 + 0.5)/1e4 — see docstring
+        return F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
     return out.select(
         "user_id",
-        F.round("mean", 4).alias("mean"),
-        F.round(F.when(F.col("n") >= 2, F.col("stddev")).otherwise(F.lit(-1.0)), 4).alias("stddev"),
+        r4(F.col("mean")).alias("mean"),
+        r4(F.when(F.col("n") >= 2, F.col("stddev")).otherwise(F.lit(-1.0))).alias("stddev"),
         F.col("n").cast("long").alias("n"),
     )
 

@@ -43,18 +43,29 @@ def salted_mean_stddev(
     partials — algebraically exact merge, no giant single partition.
 
     stddev_samp = sqrt((Σx² − (Σx)²/n) / (n−1)), matching Python
-    statistics.stdev used by the reference (processor.py:838-841)."""
+    statistics.stdev used by the reference (processor.py:838-841).
+
+    The partials accumulate in DECIMAL(38,12) (the GBDT-trainer
+    precedent): double sums are order-dependent, so a float Σx makes
+    the result vary with partitioning/salting AND diverge from any
+    other engine's sum order — observed as a 4-dp rounding-tie flip
+    vs the DuckDB oracle at sf0.1. Decimal addition is exact and
+    commutative: the merged sums are bit-identical under any salt
+    count, partitioning, or evaluation order (the per-row double→
+    decimal cast rounds identically everywhere). The final formula
+    then runs in double on identical inputs."""
     v = F.col(value_col) if isinstance(value_col, str) else value_col
+    dec = "decimal(38,12)"
     salted = with_salt(df, num_salts, list(salt_cols or [entity_col]))
     partial = salted.groupBy(entity_col, "__salt").agg(
         F.count(v).alias("__n"),
-        F.sum(v).alias("__s1"),
-        F.sum(v * v).alias("__s2"),
+        F.sum(v.cast(dec)).alias("__s1"),
+        F.sum((v * v).cast(dec)).alias("__s2"),
     )
     merged = partial.groupBy(entity_col).agg(
         F.sum("__n").alias("__n"),
-        F.sum("__s1").alias("__s1"),
-        F.sum("__s2").alias("__s2"),
+        F.sum("__s1").cast("double").alias("__s1"),
+        F.sum("__s2").cast("double").alias("__s2"),
     )
     n = F.col("__n")
     mean = F.col("__s1") / n
