@@ -304,7 +304,8 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_OUT", os.path.join(_REPO_ROOT, "BENCH", "suite_latest.json")
     )
     try:
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        if os.path.dirname(out_path):  # bare filename → cwd, no mkdir
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
         with open(out_path, "w", encoding="utf-8") as fd:
             json.dump(result, fd, indent=1)
             fd.write("\n")

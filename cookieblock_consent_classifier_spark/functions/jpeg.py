@@ -560,15 +560,19 @@ def _build_decode16(bits: Sequence[int], vals: Sequence[int]) -> list[int]:
     (everything this encoder writes) build it exactly once per
     process."""
     key = (bytes(bits), bytes(vals))
-    cached = _DECODE16_CACHE.get(key)
+    cached = _DECODE16_CACHE.pop(key, None)
     if cached is None:
         packed = np.zeros(1 << 16, dtype=np.int32)
         for sym, (code, ln) in _build_codes(list(bits), list(vals)).items():
             lo = code << (16 - ln)
             packed[lo:lo + (1 << (16 - ln))] = (ln << 8) | sym
-        cached = _DECODE16_CACHE[key] = packed.tolist()
-        if len(_DECODE16_CACHE) > 64:  # corrupt-stream fuzzing guard
+        cached = packed.tolist()
+        if len(_DECODE16_CACHE) >= 64:  # corrupt-stream fuzzing guard
+            # LRU: hits re-insert at the end (pop above), so the
+            # front is the least-recently-used entry — never the hot
+            # standard tables a fuzz workload would otherwise churn
             _DECODE16_CACHE.pop(next(iter(_DECODE16_CACHE)))
+    _DECODE16_CACHE[key] = cached  # (re-)insert at MRU position
     return cached
 
 

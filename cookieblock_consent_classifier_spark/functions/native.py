@@ -114,8 +114,19 @@ MONTH_PAT = (
     r"(?i)(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)"
 )
 URL_PAT = r"(https?://.*\.|www[2-9]?\..*\.)"                  # processor.py:172-173
-HEX_PAT = r"^[0-9a-fA-F]+$"                                   # processor.py:1317-1326
-NUM_PAT = r"^[0-9]+$"  # ASCII-decimal guard; see hex_content docstring
+# the reference compiles "^[0-9a-f]+$" (IGNORECASE) and .match()es it
+# (processor.py:174,1317-1326). CPython '$' matches at end OR before
+# ONE trailing '\n' — while Java's '$' also accepts \r, \r\n,
+# U+0085, U+2028, U+2029, and RE2's accepts end-of-text only. The explicit
+# \A...\n?\z form below encodes the CPython semantics exactly and
+# means the same thing in Java regex (Spark rlike), RE2 (the DuckDB
+# twin), and Python re — terminator-bearing inputs like "12f\r" no
+# longer flip the feature across engines (round-6 review finding).
+HEX_PAT = r"\A[0-9a-fA-F]+\n?\z"                              # processor.py:1317-1326
+# strict ASCII-decimal guard (NO trailing-\n allowance: str.isnumeric
+# is false for "123\n", so the guard must not match it either); see
+# hex_content docstring for the isnumeric equivalence proof
+NUM_PAT = r"\A[0-9]+\z"
 
 # CPython str.isspace()'s exact accept set: Unicode bidi classes
 # WS/B/S plus category Zs — a CLOSED 29-codepoint list, stable across
@@ -165,13 +176,18 @@ def url_content(col: str | Column) -> Column:
 
 def hex_content(col: str | Column) -> Column:
     """feature_hex_content (processor.py:1317-1326): all-hex AND not
-    unicode-numeric → ±1. REFERENCE-EXACT for every input despite the
-    ASCII decimal guard: the conjunction only consults isnumeric when
-    HEX_PAT already matched, and a ^[0-9a-fA-F]+$ match contains ONLY
-    ASCII hex chars, on which str.isnumeric() ⇔ ^[0-9]+$ (no ASCII
-    letter is Unicode-numeric; isnumeric needs every char numeric).
-    Kernel-parity pinned on the real fixtures + fuzz corpus
-    (tests/test_native_entropy.py); NATIVE_CAPABLE since round 6."""
+    unicode-numeric → ±1. REFERENCE-EXACT for every input: the
+    conjunction only consults isnumeric when HEX_PAT already matched,
+    and a HEX_PAT match is ASCII hex chars plus at most one trailing
+    '\\n' (the CPython-'$' form — see the constant). Case (a) no
+    terminator: all chars ASCII hex, where str.isnumeric() ⇔ all
+    digits ⇔ NUM_PAT (no ASCII letter is Unicode-numeric; isnumeric
+    needs EVERY char numeric). Case (b) trailing '\\n': isnumeric is
+    False (newline is not numeric) and strict NUM_PAT doesn't match
+    either (\\z, no \\n allowance) — both sides say "not numeric", so
+    the feature fires +1 exactly like the reference. Kernel-parity
+    pinned incl. terminator cases (tests/test_native_entropy.py);
+    NATIVE_CAPABLE since round 6."""
     c = _c(col)
     return pm(c.rlike(HEX_PAT) & ~c.rlike(NUM_PAT))
 

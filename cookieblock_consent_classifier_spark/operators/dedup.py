@@ -145,7 +145,11 @@ def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "id") -> DataFrame:
     (a bucket-size cap upstream, not AQE, is the real defense)."""
     buckets = (
         bands_df.groupBy("band", "band_key")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        # array_distinct(sort_array(...)) stays sorted AND drops
+        # duplicate ids within a bucket — the former self-join's
+        # strict a < b filter excluded (x, x) self-pairs; duplicate
+        # input ids must not emit them here either
+        .agg(F.array_distinct(F.sort_array(F.collect_list(id_col))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     n = F.size(F.col("ids"))

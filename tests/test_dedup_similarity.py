@@ -52,6 +52,22 @@ def test_lsh_pairs_find_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_lsh_pairs_no_self_pairs_on_duplicate_ids(spark):
+    """A doc_id appearing twice in the input (exactly what a dedup
+    pipeline sees) must not emit an (x, x) self-pair — the round-6
+    groupBy rewrite dedups bucket members (array_distinct) where the
+    old self-join's strict a < b filter excluded them."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (1, base), (2, base + " extra")], ["doc_id", "text"]
+    )
+    sig = dedup.minhash_signatures(df, "text", "doc_id", num_hashes=8)
+    bands = dedup.lsh_bands(sig, "doc_id", num_hashes=8, band_size=2)
+    pairs = {(r["a"], r["b"]) for r in dedup.lsh_candidate_pairs(bands, "doc_id").collect()}
+    assert (1, 1) not in pairs and (2, 2) not in pairs
+    assert (1, 2) in pairs
+
+
 def test_ngram_jaccard(spark):
     df = spark.createDataFrame([("a b c d", "a b c d"), ("a b c d", "x y z w")], ["x", "y"])
     got = [r["j"] for r in df.select(dedup.ngram_jaccard(F.col("x"), F.col("y"), 2).alias("j")).collect()]

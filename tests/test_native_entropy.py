@@ -97,25 +97,33 @@ def _ws_hex_fuzz(n: int = 250) -> list[str]:
 
 def test_empty_hex_native_match_python(spark):
     """empty_content_ref == raw-value `not v or v.isspace()` and
-    hex_content(py_unquote) == `HEX_PAT-match AND NOT isnumeric` on
-    the decoded value (the kernel's exact predicates) across the
-    unquote fuzz corpus, the boundary-biased ws/hex corpus, and the
-    edge cases — the NATIVE_CAPABLE promotion evidence for the two
-    round-6 slots."""
+    hex_content(py_unquote) == THE REFERENCE's own predicate —
+    `re.compile("^[0-9a-f]+$", re.IGNORECASE).match(dec) and not
+    dec.isnumeric()` (processor.py:174,1317-1326, with CPython's
+    '$'-before-one-trailing-newline semantics) — across the unquote
+    fuzz corpus, the boundary-biased ws/hex corpus, and the edge
+    cases. The Spark side uses native.HEX_PAT's \\A...\\n?\\z form
+    (CPython-'$' encoded portably for Java/RE2); this test proves the
+    two agree, including on terminator-bearing inputs like "123\\n"
+    and "12f\\r" where Java's and RE2's own '$' would diverge."""
     import re
 
-    corpus = sorted(set(EDGE_CASES + _fuzz_corpus(150) + _ws_hex_fuzz()))
+    ref_hex = re.compile("^[0-9a-f]+$", re.IGNORECASE)  # processor.py:174
+    corpus = sorted(set(
+        EDGE_CASES + _fuzz_corpus(150) + _ws_hex_fuzz()
+        + ["123\n", "12f\n", "123\r", "12f\r", "123\r\n", "12f ",
+           "abc\n\n", "ABC\n", "1%0A", "12f%0D", "%31%32%33%0a"]
+    ))
     df = spark.createDataFrame([(s,) for s in corpus], "v string")
     rows = df.select(
         "v",
         native.empty_content_ref("v").alias("emp"),
         native.hex_content(native.py_unquote("v")).alias("hx"),
     ).collect()
-    hex_re = re.compile(native.HEX_PAT)
     for r in rows:
         dec = urllib.parse.unquote(r.v)
         exp_emp = 1.0 if (not r.v or r.v.isspace()) else -1.0
-        exp_hex = 1.0 if (hex_re.search(dec) and not dec.isnumeric()) else -1.0
+        exp_hex = 1.0 if (ref_hex.match(dec) and not dec.isnumeric()) else -1.0
         assert r.emp == exp_emp, (r.v, r.emp, exp_emp)
         assert r.hx == exp_hex, (r.v, dec, r.hx, exp_hex)
 
