@@ -57,6 +57,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fanout(df: DataFrame, key: str, n: int | None = None) -> DataFrame:
+    """Scale-adaptive scan parallelism floor (opt guide §2.2/§6).
+
+    Parquet scans parallelize at ROW-GROUP granularity; the driver's
+    testdata writes each table as ONE row group per file (verified:
+    documents/events/embeddings are 1 row group even at sf1.0), so a
+    scan-rooted stage — and for shuffle-free row-wise queries, the
+    whole query — runs in a single task no matter the core count.
+    When the scan has fewer partitions than the cluster's default
+    parallelism, hash-repartition on a high-cardinality key so the
+    expensive per-row work above it parallelizes. At real scale the
+    scan already has >= parallelism partitions and this is a no-op
+    (returns df unchanged — no exchange in the plan).
+
+    Explicit numPartitions pins the shuffle: AQE coalescing (16 MB
+    advisory) would otherwise merge these tiny-but-CPU-heavy
+    partitions right back to one. Hash (not round-robin) partitioning
+    avoids the sort-before-repartition pass and is deterministic
+    under task retries; for queries that later shuffle on the same
+    key, Catalyst reuses this exchange outright.
+    """
+    sc = df.sparkSession.sparkContext
+    target = n or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key))
+
+
 def _us(col) -> F.Column:  # epoch microseconds, engine-portable
     return F.unix_micros(F.col(col).cast("timestamp")) if isinstance(col, str) else F.unix_micros(col.cast("timestamp"))
 
@@ -95,7 +123,7 @@ def q_update_count(spark, sf_dir):
     groupBy since round 5 (folded from the former flag_changed oracle
     query to free a correctness-snapshot slot for doc_chunks; value
     coverage unchanged — same columns, same operator exercised)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _fanout(_t(spark, sf_dir, "events"), "user_id")
     return ev.groupBy("user_id").agg(
         F.count("*").alias("n_updates"),
         F.min(_us("ts")).alias("first_us"),
@@ -386,7 +414,11 @@ def q_phash_delta(spark, sf_dir):
     from cookieblock_consent_classifier_spark.functions.image import hamming64
     from cookieblock_consent_classifier_spark.sources.synth import synth_image_updates
 
-    ev = _t(spark, sf_dir, "events").withColumn(
+    # fan out BEFORE deriving phash: the md5 projection otherwise sits
+    # below the window's exchange, i.e. in the single scan task; the
+    # fanout exchange hash-partitions on user_id so the window adds no
+    # second exchange and the md5 runs post-shuffle on every core
+    ev = _fanout(_t(spark, sf_dir, "events"), "user_id").withColumn(
         "phash",
         TX.hex_to_long(F.substring(F.md5(F.concat(F.lit("ph:"), F.col("event_id").cast("string"))), 1, 15)),
     )
@@ -447,7 +479,7 @@ def q_content_flags(spark, sf_dir):
     version one-hot (processor.py:1430-1458) over md5-derived
     uuid-shaped strings (deterministic both engines) — all row-wise
     native expressions over one documents scan."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"), "doc_id")
     h = F.md5("text")
     fake_uuid = F.concat_ws(
         "-",
@@ -1229,7 +1261,7 @@ _NORM_SQL = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
 )
 def q_dedup_exact(spark, sf_dir):
     """exact dedup clusters on normalized-content hash."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"), "doc_id")
     keyed = docs.select(TX.fingerprint("text").alias("dup_key"), "doc_id")
     return keyed.groupBy("dup_key").agg(
         F.count("*").alias("cluster_size"), F.min("doc_id").alias("keep_id")
@@ -1269,7 +1301,7 @@ def q_doc_fingerprint(spark, sf_dir):
     filters (the MassiveText/Gopher family): duplicate word-2/3-gram
     fraction and duplicate line fraction — the standard
     pretraining-corpus boilerplate/spam signals, all native."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"), "doc_id")
     # two-phase: tokenize ONCE into a projected column; the n-gram
     # fractions reference it cheaply (inlining tokens() re-runs the
     # trim+split per interpreted HOF operand — no CSE)
@@ -1312,7 +1344,7 @@ def _minhash_sql(k: int) -> str:
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures (4 lanes, word-3-gram shingles) — the
     near-dup scale path."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"), "doc_id")
     return dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=4, shingle_n=3)
 
 
@@ -1336,7 +1368,9 @@ def q_minhash_signatures(spark, sf_dir):
 def q_embedding_topk(spark, sf_dir):
     """brute-force cosine top-k similarity search (exact baseline)."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    out = similarity.brute_force_topk(
+        _fanout(emb, "vec_id"), emb.filter(F.col("vec_id") < 10), k=5
+    )
     return out.select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
@@ -1423,7 +1457,7 @@ def q_text_quality(spark, sf_dir):
     no natural PII, so an md5-keyed sample (TX.PII_SAMPLES, same
     constants on both engines) is appended first so every rule fires
     both ways on real rows."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"), "doc_id")
     nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     aug = F.col("text")
     for k, v in TX.PII_SAMPLES.items():
@@ -1486,7 +1520,7 @@ def q_doc_chunks(spark, sf_dir):
     concatenation packing = ONE window cumsum per stream; streams
     keep packing embarrassingly parallel at corpus scale). Chunk
     text value-pinned via md5."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"), "doc_id")
     ch = chunking.chunk_documents(
         docs, id_cols=("doc_id", "source"), chunk_tokens=32
     )
@@ -1541,7 +1575,7 @@ def q_embedding_near_dup(spark, sf_dir):
 def q_entropy_zlib(spark, sf_dir):
     """feature_shannon_entropy + feature_compressed_content
     (processor.py:1061-1098) — Arrow-vectorized pandas UDFs."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id",
         F.round(V.shannon_entropy("text"), 6).alias("entropy"),
@@ -1567,7 +1601,7 @@ def q_shannon_entropy(spark, sf_dir):
     filter pins both engines to the same input domain: the engine
     kernel URL-decodes first (reference semantics), which DuckDB 1.0
     cannot express, so %-containing and empty docs are excluded."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"), "doc_id")
     return docs.filter(
         (F.length("text") > 0) & (~F.contains(F.col("text"), F.lit("%")))
     ).select("doc_id", F.round(V.shannon_entropy("text"), 6).alias("entropy"))
@@ -1616,7 +1650,7 @@ _SIMHASH_SQL = f"""
 def q_simhash(spark, sf_dir):
     """SimHash fingerprints + pigeonhole blocking keys (48-bit; bit j
     of the fingerprint = sign of token votes on md5 bit j)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"), "doc_id")
     sh = docs.select("doc_id", dedup.simhash48("text").alias("simhash"))
     return sh.select("doc_id", "simhash", *dedup.simhash_blocks(F.col("simhash")))
 
@@ -1663,7 +1697,7 @@ def q_lsh_candidates(spark, sf_dir):
     verification. Value-exact vs DuckDB: the signature lanes, band
     keys (md5 of concatenated lanes) and the Jaccard verification are
     all portable md5/list arithmetic."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"), "doc_id")
     sig = dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=8)
     bands = dedup.lsh_bands(sig, "doc_id", num_hashes=8, band_size=2)
     pairs = dedup.lsh_candidate_pairs(bands, "doc_id")
@@ -1700,7 +1734,7 @@ def q_dedup_clusters_cc(spark, sf_dir):
     (operators/dedup.connected_components: iterative min-label
     propagation — pairs alone under-merge transitive duplicates).
     Value-exact vs a DuckDB recursive-CTE reachability oracle."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"), "doc_id")
     sig = dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=8)
     bands = dedup.lsh_bands(sig, "doc_id", num_hashes=8, band_size=2)
     pairs = dedup.lsh_candidate_pairs(bands, "doc_id")
