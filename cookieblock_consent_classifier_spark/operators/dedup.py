@@ -110,8 +110,17 @@ def lsh_bands(
     space for candidate generation. Docs with no shingles (all-null
     signature) are excluded: concat_ws would otherwise collapse their
     NULL lanes to one shared '' key and pair every empty doc with
-    every other."""
-    sig_df = sig_df.filter(F.col("minhash_0").isNotNull())
+    every other.
+
+    The exclusion is a CASE inside the projection (explode of a NULL
+    array emits no rows), NOT a ``filter(minhash_0 IS NOT NULL)``: a
+    Filter node gets predicate-pushed below the signature projection
+    and below any scan-side exchange, re-inlining the whole
+    shingle→md5→xor→array_min lineage into the scan task — measured
+    6.1s of a 7.2s bands pass at sf1.0 (opt round 7; the pushed
+    predicate ran single-task below the fan-out repartition). The
+    conditional array keeps the null check on the already-projected
+    lane attribute with zero extra evaluations."""
     bands = []
     for b in range(0, num_hashes, band_size):
         key = F.md5(
@@ -122,8 +131,9 @@ def lsh_bands(
         bands.append(
             F.struct(F.lit(b // band_size).alias("band"), key.alias("band_key"))
         )
+    arr = F.when(F.col("minhash_0").isNotNull(), F.array(*bands))
     return sig_df.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("bk")
+        F.col(id_col), F.explode(arr).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
