@@ -57,7 +57,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _fanout(df: DataFrame, key: str, n: int | None = None) -> DataFrame:
+def _fanout(df: DataFrame, key: str | F.Column, n: int | None = None) -> DataFrame:
     """Scale-adaptive scan parallelism floor (opt guide §2.2/§6).
 
     Parquet scans parallelize at ROW-GROUP granularity; the driver's
@@ -82,7 +82,7 @@ def _fanout(df: DataFrame, key: str, n: int | None = None) -> DataFrame:
     target = n or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
-    return df.repartition(target, F.col(key))
+    return df.repartition(target, F.col(key) if isinstance(key, str) else key)
 
 
 def _us(col) -> F.Column:  # epoch microseconds, engine-portable
@@ -2199,7 +2199,17 @@ def q_cookie_feature_pipeline(spark, sf_dir):
     key = ("cookie_pipeline_native", id(spark), sf_dir)
     cached = _PLAN_CACHE.get(key)
     if cached is None:
-        src = cookie_updates_from_events(_t(spark, sf_dir, "events"))
+        # fan out on the EXACT expression the adapter aliases to
+        # entity_id (cast(user_id as string)): ProjectExec's alias-
+        # aware output partitioning then rewrites the exchange's
+        # partitioning to entity_id, so the compile_features window
+        # adds no second exchange and the adapter's md5-derivation
+        # projection plus every stage-0 expression runs post-shuffle
+        # on all cores instead of inside the single scan task
+        ev = _fanout(
+            _t(spark, sf_dir, "events"), F.col("user_id").cast("string")
+        )
+        src = cookie_updates_from_events(ev)
         cached = compile_features(src, native_schema(res, num_updates=2, num_diffs=2), res)
         _PLAN_CACHE[key] = cached
     wide, _names = cached
