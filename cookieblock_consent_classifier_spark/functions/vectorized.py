@@ -16,6 +16,7 @@ Reference parity cited to /root/reference/feature_extraction/*.
 from __future__ import annotations
 
 import base64
+import csv
 import difflib
 import json
 import math
@@ -84,16 +85,21 @@ def _py_b64_valid(s: str | None) -> bool | None:
     return _py_b64_decodable(unquote(s))
 
 
-def _py_js_parse(txt: str):
+_UNSET = object()
+
+
+def _py_js_parse(txt: str, b64=_UNSET):
     """Parsed JS/JSON value per feature_js_content's gating
     (processor.py:1215-1235): only attempt when '{' present; fall back
     to base64-decode + re-check (try_decode_base64, utils.py:81-94).
     try_split_json's js2py fallback is the bounded JS-literal parser
     (functions/jsparse.py). Returns ANY parsed value (dict/list/str)
-    or None — the reference uses len() of non-dict results too."""
+    or None — the reference uses len() of non-dict results too.
+    ``b64`` lets a caller that already ran _py_b64_decode(txt) pass
+    the result in (the fused kernel shares one decode per value)."""
     if "{" in txt:
         return try_split_json_like(txt)
-    dec = _py_b64_decode(txt)
+    dec = _py_b64_decode(txt) if b64 is _UNSET else b64
     if dec and "{" in dec:
         return try_split_json_like(dec)
     return None
@@ -221,32 +227,95 @@ def js_content_len(s: pd.Series) -> pd.Series:
 DELIMITERS = ",|#:;&_.-"  # processor.py:151
 
 
+_SNIFF_PREFERRED = (",", "\t", ";", " ", ":")  # csv.Sniffer().preferred
+_SNIFFER = csv.Sniffer()
+
+
+def _sniff_delim(txt: str, delimiters: str):
+    """Exact twin of ``csv.Sniffer().sniff(txt, delimiters=...)``
+    restricted to the fields ``_py_split_delimited`` consumes: returns
+    ``(delimiter, quotechar, doublequote, skipinitialspace)`` or None
+    where sniff would raise ``csv.Error``.
+
+    csv.Sniffer costs ~75-105 us per call even on strings containing
+    no delimiter at all (_guess_delimiter builds a frequency table for
+    every 7-bit char); it was the single largest per-row cost of the
+    fused cookie kernel (~186 us/row of ~200, called twice). The fast
+    path replays csv.py's single-chunk arithmetic exactly for
+    single-line, quote-free samples (the overwhelming majority of
+    cookie values): with one line every restricted delimiter present
+    gets mode (count, 1) and consistency 1/1, so the candidate set is
+    simply the delimiters with count > 0; one candidate wins directly,
+    several fall to the `preferred` list then to max (count, char);
+    skipinitialspace = count(d) == count(d + ' '). Anything containing
+    a newline or a quote char falls back to the real Sniffer
+    (_guess_quote_and_delimiter's regexes / multi-chunk voting).
+    Parity is pinned by tests/test_functions.py::test_sniff_parity
+    against csv.Sniffer over a structured fuzz corpus."""
+    if "\n" not in txt and '"' not in txt and "'" not in txt:
+        cands = {d: txt.count(d) for d in delimiters if d in txt}
+        if not cands:
+            return None  # sniff() raises Error("Could not determine delimiter")
+        if len(cands) == 1:
+            delim = next(iter(cands))
+        else:
+            for p in _SNIFF_PREFERRED:
+                if p in cands:
+                    delim = p
+                    break
+            else:
+                delim = max(cands.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        skip = txt.count(delim) == txt.count(delim + " ")
+        # no quote chars present -> _guess_quote_and_delimiter returns
+        # ('', False, ...) and sniff defaults quotechar to '"'
+        return delim, '"', False, skip
+    try:
+        d = _SNIFFER.sniff(txt, delimiters=delimiters)
+        return d.delimiter, d.quotechar, d.doublequote, d.skipinitialspace
+    except csv.Error:
+        return None
+
+
+def _split_sniffed(txt: str, sniffed) -> list[str]:
+    """csv.reader split of ``txt`` under a ``_sniff_delim`` result —
+    identical to reading with the sniffed dialect class (same
+    attribute values; escapechar None / strict False are Dialect
+    defaults either way)."""
+    delim, quote, dq, skip = sniffed
+    return list(
+        csv.reader(
+            (txt,),
+            delimiter=delim,
+            quotechar=quote,
+            doublequote=dq,
+            skipinitialspace=skip,
+            lineterminator="\r\n",
+            quoting=csv.QUOTE_MINIMAL,
+        )
+    )[0]
+
+
 def _py_split_delimited(txt: str, min_seps: int, delimiters: str = DELIMITERS):
     """split_delimiter_separated (utils.py:114-143) semantics:
     Sniffer dialect over the restricted delimiter set; accepted only if
     the raw string contains STRICTLY MORE than ``min_seps`` occurrences
-    of the chosen delimiter; split via csv.reader (quote-aware). On
-    sniff failure, the reference checks base64-decodability and then
-    re-sniffs the SAME string (a quirk we reproduce: it almost always
-    fails again). Returns (tokens|None, delimiter|None)."""
-    import csv
+    of the chosen delimiter; split via csv.reader (quote-aware).
+    Returns (tokens|None, delimiter|None).
 
-    sniffer = csv.Sniffer()
-
-    def attempt():
-        dialect = sniffer.sniff(txt, delimiters=delimiters)
-        if txt.count(dialect.delimiter) > min_seps:
-            return list(csv.reader((txt,), dialect))[0], dialect.delimiter
+    The reference's sniff-failure path base64-decodes and re-sniffs
+    the SAME string; sniff is deterministic, so that retry always
+    fails again — the dead retry is skipped here (output identical,
+    saves a base64 decode + a second ~100 us sniff per miss). A
+    csv.Error from the READER (e.g. newline in an unquoted field) is
+    (None, None) exactly like the original's shared except-clause."""
+    s = _sniff_delim(txt, delimiters)
+    if s is None:
         return None, None
-
-    try:
-        return attempt()
-    except csv.Error:
-        if _py_b64_decode(txt) is not None:
-            try:
-                return attempt()
-            except csv.Error:
-                pass
+    if txt.count(s[0]) > min_seps:
+        try:
+            return _split_sniffed(txt, s), s[0]
+        except csv.Error:
+            return None, None
     return None, None
 
 
@@ -308,12 +377,10 @@ def _hex_pat():
     return re.compile("^[0-9a-f]+$", re.IGNORECASE)
 
 
-def _py_csv_content_flags(v: str | None, min_seps: int = 2):
-    """feature_csv_content (processor.py:1176-1213): split (sniffer)
-    then flags over tokens: numeric/hex/alpha/alnum/bool; ±1."""
-    if v is None:
-        return None
-    toks, _ = _py_split_delimited(unquote(v), min_seps)
+def _py_csv_flags_from_tokens(toks):
+    """The flag pass of feature_csv_content over already-split tokens
+    (None/empty → all −1) — shared by the standalone UDF and the fused
+    kernel (which reuses one sniff+split for both csv features)."""
     flags = [False] * 5
     if toks:
         hx = _hex_pat()
@@ -325,6 +392,15 @@ def _py_csv_content_flags(v: str | None, min_seps: int = 2):
             flags[3] |= e.isalnum()
             flags[4] |= tv.match(e) is not None
     return tuple(1.0 if f else -1.0 for f in flags)
+
+
+def _py_csv_content_flags(v: str | None, min_seps: int = 2):
+    """feature_csv_content (processor.py:1176-1213): split (sniffer)
+    then flags over tokens: numeric/hex/alpha/alnum/bool; ±1."""
+    if v is None:
+        return None
+    toks, _ = _py_split_delimited(unquote(v), min_seps)
+    return _py_csv_flags_from_tokens(toks)
 
 
 def csv_content_udf(min_seps: int = 2):
@@ -341,19 +417,11 @@ def csv_content_udf(min_seps: int = 2):
     return _udf
 
 
-def _py_js_content(v: str | None):
-    """feature_js_content (processor.py:1215-1303): 11-wide vector —
-    len(parsed value) (or −1), then ±1 flags: id-key, bool, num,
-    string, alpha, alnum, subobject, list, none, hex. Slot 0 uses
-    len() of ANY successful parse (dict, list or string —
-    processor.py:1288-1291); the type flags apply to dicts only. The
-    js2py fallback is the bounded JS-literal parser
-    (functions/jsparse.py)."""
+def _py_js_flags_tuple(data):
+    """The 11-wide vector of feature_js_content from an ALREADY-parsed
+    value (see _py_js_content) — shared by the standalone UDF and the
+    fused kernel (which parses once per value)."""
     import re
-
-    if v is None:
-        return None
-    data = _py_js_parse(unquote(v))
 
     flags = dict.fromkeys(
         ["id", "bool", "num", "str", "alpha", "alnum", "sub", "list", "none", "hex"], False
@@ -392,6 +460,19 @@ def _py_js_content(v: str | None):
     length = float(len(data)) if data is not None else -1.0
     order = ["id", "bool", "num", "str", "alpha", "alnum", "sub", "list", "none", "hex"]
     return (length, *[1.0 if flags[k] else -1.0 for k in order])
+
+
+def _py_js_content(v: str | None):
+    """feature_js_content (processor.py:1215-1303): 11-wide vector —
+    len(parsed value) (or −1), then ±1 flags: id-key, bool, num,
+    string, alpha, alnum, subobject, list, none, hex. Slot 0 uses
+    len() of ANY successful parse (dict, list or string —
+    processor.py:1288-1291); the type flags apply to dicts only. The
+    js2py fallback is the bounded JS-literal parser
+    (functions/jsparse.py)."""
+    if v is None:
+        return None
+    return _py_js_flags_tuple(_py_js_parse(unquote(v)))
 
 
 JS_CONTENT_FIELDS = [
@@ -478,21 +559,48 @@ def content_kernel_udf(content_terms: list[str], delimiters: str = DELIMITERS,
             pm = lambda b: 1.0 if b else -1.0  # noqa: E731
             # feature_empty_content (processor.py:1376-1384): RAW value
             empty = pm(not v or v.isspace())
+            # ONE lenient base64 decode shared by the js-object shape
+            # check and the js-content parse gate (each used to decode
+            # independently)
+            mb = _py_b64_decode(dec)
             # feature_contains_javascript_object (processor.py:1148-1162):
             # shape-regex on dec, else base64-decode dec and re-check
             if js_pat.search(dec):
                 jso = 1.0
             else:
-                mb = _py_b64_decode(dec)
                 jso = 1.0 if (mb and js_pat.search(mb)) else -1.0
             # feature_boolean_content (processor.py:1386-1395): Python
             # \b is unicode-aware (Java's is ASCII) — keep in Python
             boolc = pm(truth.search(dec) is not None)
-            toks, d = _py_split_delimited(dec, delim_min_seps, delimiters)
-            didx = delimiters.index(d) if toks else None
-            ntok = len(toks) if toks else None
-            csvf = _py_csv_content_flags(v, csv_min_seps)
-            jsf = _py_js_content(v)
+            # ONE sniff + ONE csv split serve BOTH delimiter_sep
+            # (min_seps=delim_min_seps) and csv_contents
+            # (min_seps=csv_min_seps): only the acceptance threshold
+            # differs, the sniffed dialect and the split tokens are
+            # identical (the standalone UDFs sniffed twice per value —
+            # the kernel's single largest per-row cost)
+            sn = _sniff_delim(dec, delimiters)
+            didx = ntok = None
+            ctoks = None
+            if sn is not None:
+                cnt = dec.count(sn[0])
+                split_toks = None
+                if cnt > min(delim_min_seps, csv_min_seps):
+                    try:
+                        split_toks = _split_sniffed(dec, sn)
+                    except csv.Error:
+                        # reader error (newline in unquoted field):
+                        # the original per-feature path returned
+                        # (None, None) for both features
+                        cnt = -1
+                if cnt > delim_min_seps and split_toks:
+                    didx = delimiters.index(sn[0])
+                    ntok = len(split_toks)
+                if cnt > csv_min_seps:
+                    ctoks = split_toks
+            csvf = _py_csv_flags_from_tokens(ctoks)
+            # ONE js parse feeds the whole js_contents block (the
+            # standalone UDF re-decodes and re-parses)
+            jsf = _py_js_flags_tuple(_py_js_parse(dec, b64=mb))
             ranks = sorted(
                 [i for t, i in lit_terms if t in dec]
                 + [i for c, i in re_terms if c.search(dec)]

@@ -265,3 +265,50 @@ def test_pii_scrub_and_counts(spark):
         for _, pat, token in TX.PII_RULES:
             s = re.sub(pat, token, s)
         assert s == want, t
+
+
+def test_sniff_fast_path_parity_fuzz():
+    """_sniff_delim (the csv.Sniffer fast path added in opt round 7)
+    must agree with the REAL csv.Sniffer on every input: same chosen
+    delimiter/quote/doublequote/skipinitialspace, same error cases.
+    Structured fuzz biased toward the fast path's branch boundaries
+    (single vs multiple candidate delimiters, preferred-list ties,
+    max-(count,char) ties, trailing 'd ' runs for skipinitialspace,
+    quotes/newlines forcing the real-Sniffer fallback)."""
+    import csv as _csv
+    import random
+
+    rng = random.Random(4207)
+    delims = V.DELIMITERS
+    alphabet = "ab1 " + delims + "\"'\n%\t"
+    corpus = [
+        "", "a", "a,b", "a,b;c", "a, b, c", "x|y|z", "k:v;k2:v2",
+        "a-b-c-d", "a_b_c", "1.2.3.4", "a&b&c", "#x#y#", "a.b,c.d",
+        "a;b:c", ",,,", "a,'q,z',b", 'he said "x,y" ok', "l1,a\nl2,b",
+        "a\nb\nc", ". . .", "a, b,c", "--", "__", "a;;b", ":;",
+        "tok,tok tok,tok", "x" * 50, ",".join("t" * 3 for _ in range(20)),
+    ]
+    for _ in range(3000):
+        n = rng.randint(1, 24)
+        corpus.append("".join(rng.choice(alphabet) for _ in range(n)))
+    sniffer = _csv.Sniffer()
+    for txt in corpus:
+        try:
+            d = sniffer.sniff(txt, delimiters=delims)
+            exp = (d.delimiter, d.quotechar, d.doublequote, d.skipinitialspace)
+        except _csv.Error:
+            exp = None
+        got = V._sniff_delim(txt, delims)
+        assert got == exp, (repr(txt), got, exp)
+        # and the full split path: tokens must match reading with the
+        # real sniffed dialect under both acceptance thresholds
+        for min_seps in (1, 2):
+            want = (None, None)
+            if exp is not None and txt.count(exp[0]) > min_seps:
+                try:
+                    want = (list(_csv.reader((txt,), d))[0], exp[0])
+                except _csv.Error:
+                    # reader error (e.g. newline in unquoted field):
+                    # the reference path's shared except returns None
+                    want = (None, None)
+            assert V._py_split_delimited(txt, min_seps) == want, repr(txt)
