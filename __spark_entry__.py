@@ -1701,11 +1701,18 @@ def q_lsh_candidates(spark, sf_dir):
     sig = dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=8)
     bands = dedup.lsh_bands(sig, "doc_id", num_hashes=8, band_size=2)
     pairs = dedup.lsh_candidate_pairs(bands, "doc_id")
-    a = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
-    b = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
+    # join the candidate pairs against ONE shingle projection per side:
+    # value-identical to ngram_jaccard over the texts, but each doc's
+    # interpreted word_shingles evaluates once per side instead of
+    # once per pair (the DuckDB twin has always used this shape)
+    sh = docs.select("doc_id", dedup.shingle_tokens("text").alias("__tk")).select(
+        "doc_id", dedup.word_shingles_from_tokens(F.col("__tk"), 3).alias("s")
+    )
+    a = sh.select(F.col("doc_id").alias("a"), F.col("s").alias("s_a"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("s").alias("s_b"))
     return (
         pairs.join(a, "a").join(b, "b")
-        .select("a", "b", dedup.ngram_jaccard(F.col("text_a"), F.col("text_b")).alias("jaccard"))
+        .select("a", "b", dedup.jaccard_from_shingles(F.col("s_a"), F.col("s_b")).alias("jaccard"))
     )
 
 
@@ -1738,11 +1745,15 @@ def q_dedup_clusters_cc(spark, sf_dir):
     sig = dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=8)
     bands = dedup.lsh_bands(sig, "doc_id", num_hashes=8, band_size=2)
     pairs = dedup.lsh_candidate_pairs(bands, "doc_id")
-    ta = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
-    tb = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
+    # shingle projection join — see q_lsh_candidates
+    sh = docs.select("doc_id", dedup.shingle_tokens("text").alias("__tk")).select(
+        "doc_id", dedup.word_shingles_from_tokens(F.col("__tk"), 3).alias("s")
+    )
+    ta = sh.select(F.col("doc_id").alias("a"), F.col("s").alias("s_a"))
+    tb = sh.select(F.col("doc_id").alias("b"), F.col("s").alias("s_b"))
     verified = (
         pairs.join(ta, "a").join(tb, "b")
-        .filter(dedup.ngram_jaccard(F.col("text_a"), F.col("text_b")) >= 0.5)
+        .filter(dedup.jaccard_from_shingles(F.col("s_a"), F.col("s_b")) >= 0.5)
         .select("a", "b")
     )
     cc = dedup.connected_components(verified)

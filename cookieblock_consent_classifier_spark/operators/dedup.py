@@ -19,7 +19,9 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
 
 from cookieblock_consent_classifier_spark.functions.text import hex_to_long, normalize_text
 
@@ -38,17 +40,24 @@ def exact_dup_clusters(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def word_shingles(text_col: str | Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text (array of
-    strings).
+def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles over a PRE-PROJECTED token-array
+    column (array of strings).
 
     Built as a zip_with sliding window over the token array (NOT
     element_at over an index sequence): higher-order-function lambdas
     are interpreted without common-subexpression elimination, so an
     element_at(toks, i) form re-runs the whole tokenize expression per
     element — O(n²) regex work per row (observed 80s vs <2s on the
-    sf0.1 bench)."""
-    toks = F.split(normalize_text(text_col), r"\s+")
+    sf0.1 bench).
+
+    Take the tokens as an ATTRIBUTE (a projected column), not the
+    inline split expression: this body references ``toks`` 2(n-1)+1
+    times (slice operands + sizes), and with the tokenize expression
+    inlined each reference re-runs trim+regexp_replace+split —
+    measured 95.8 vs 47.5 us/doc single-task at sf1.0 (opt round 7).
+    ``word_shingles`` keeps the inline convenience form; hot paths
+    project the tokens first."""
     sh = toks
     for j in range(1, n):
         # zip_with pads the shorter side with null; concat_ws skips
@@ -59,6 +68,19 @@ def word_shingles(text_col: str | Column, n: int = 3) -> Column:
             lambda a, b: F.when(a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)),
         )
     return F.array_distinct(F.filter(sh, lambda s: s.isNotNull()))
+
+
+def shingle_tokens(text_col: str | Column) -> Column:
+    """The token array feeding word shingles — project THIS into a
+    column, then apply word_shingles_from_tokens on the attribute."""
+    return F.split(normalize_text(text_col), r"\s+")
+
+
+def word_shingles(text_col: str | Column, n: int = 3) -> Column:
+    """Convenience inline form (single Column expression) — prefer the
+    two-stage shingle_tokens + word_shingles_from_tokens in hot paths
+    (see word_shingles_from_tokens docstring)."""
+    return word_shingles_from_tokens(shingle_tokens(text_col), n)
 
 
 # Deterministic 60-bit XOR "permutation" constants per minhash lane,
@@ -82,12 +104,27 @@ def minhash_signatures(
     """Per-doc MinHash signature: sig_k = min over shingles of
     (base_hash(shingle) XOR salt_k) — one md5 per shingle total, lanes
     are free XOR permutations. Docs with no shingles get nulls.
+    No explode-shuffle — embarrassingly parallel, scan-speed.
 
-    Computed without explode-shuffle: array_min over a transformed
-    shingle array per row — embarrassingly parallel, scan-speed.
-    """
-    hashes = F.transform(word_shingles(text_col, shingle_n), shingle_base_hash)
-    staged = df.select(F.col(id_col), hashes.alias("__h"))
+    Fully native, TWO-STAGE: the token array is projected into its own
+    column before the shingle window (see word_shingles_from_tokens —
+    the inlined form re-ran tokenize per slice/size operand; 143 →
+    95 us/doc single-task at sf1.0). The md5 transform and the
+    ``num_hashes`` XOR/min passes are the cheap part (~16 us/doc for
+    8 lanes). An Arrow-kernel lane variant (int64 hash arrays across
+    the boundary, broadcast-XOR + minimum.reduceat) was measured and
+    REJECTED in opt round 7: 87.6 vs 95.4 us/doc saturated-task but
+    0.58 vs 0.55 s at 32-way sf1 — the Python boundary's fixed cost
+    exceeds the ~9% lane saving at bench scale, and zero-Python plans
+    compose better downstream (lsh_bands / candidate generation).
+    test_dedup_similarity pins the two-stage values against the
+    original inline formulation; the DuckDB oracle pins them
+    cross-engine."""
+    staged0 = df.select(F.col(id_col), shingle_tokens(text_col).alias("__toks"))
+    hashes = F.transform(
+        word_shingles_from_tokens(F.col("__toks"), shingle_n), shingle_base_hash
+    )
+    staged = staged0.select(F.col(id_col), hashes.alias("__h"))
 
     def xor_lane(salt: int):
         # single-arg lambda required: pyspark transform() treats a
@@ -298,33 +335,37 @@ def connected_components(
     return labels
 
 
-def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
-    """Exact word-n-gram Jaccard similarity between two text columns —
-    the verification predicate applied to LSH candidate pairs."""
-    sa = word_shingles(text_a, n)
-    sb = word_shingles(text_b, n)
+def jaccard_from_shingles(sa: Column, sb: Column) -> Column:
+    """Jaccard over two PRE-COMPUTED shingle-array columns. Joining
+    candidate pairs against a (doc_id, shingles) projection and
+    applying this is value-identical to ngram_jaccard over the texts
+    but evaluates each doc's shingles once per side instead of once
+    per PAIR (word_shingles is the interpreted-HOF heavy part; a doc
+    in k candidate pairs paid it k times)."""
     inter = F.size(F.array_intersect(sa, sb)).cast("double")
     union = F.size(F.array_union(sa, sb)).cast("double")
     return F.when(union > 0, F.round(inter / union, 6)).otherwise(F.lit(None))
 
 
+def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
+    """Exact word-n-gram Jaccard similarity between two text columns —
+    the verification predicate applied to LSH candidate pairs. In hot
+    paths prefer joining a shingle projection + jaccard_from_shingles
+    (see its docstring)."""
+    return jaccard_from_shingles(word_shingles(text_a, n), word_shingles(text_b, n))
+
+
 SIMHASH_BITS = 48  # < 2^53: power-of-two double division stays exact
 
 
-def simhash48(text_col: str | Column) -> Column:
-    """48-bit SimHash of the token set: bit j of the fingerprint is the
-    sign of Σ_tokens (±1 by bit j of md5(token)).
-
-    Fully native (one md5 per token, one aggregate over the token
-    array). Bit extraction is ``(h >> j) & 1`` with the 48 shift
-    amounts unrolled as Python literals — shiftright takes no Column
-    shift amount, and the former workaround (exact double division by
-    2^j inside a sequence-transform, value-identical for non-negative
-    h < 2^48) cost a pow+floor+pmod in interpreted-HOF doubles per
-    token-bit; integer shifts measured 1.44x end-to-end on the sf0.1
-    fingerprint job (interleaved A/B min-of-3 at idle, values pinned
-    identical — the per-token md5 dominates the remainder). No
-    Python, no shuffle — scan-speed per row."""
+def simhash48_native(text_col: str | Column) -> Column:
+    """Pure-Catalyst form of ``simhash48`` (one md5 per token, one
+    aggregate over the token array; bit extraction as unrolled integer
+    shifts). Interpreted-HOF bound: the per-token zip_with builds a
+    48-wide array per token with no subexpression elimination. Kept as
+    the zero-Python fallback and the parity target for the Arrow
+    kernel (test_dedup_similarity pins both paths value-identical);
+    the public ``simhash48`` uses the kernel."""
     toks = F.array_distinct(F.split(normalize_text(text_col), r"\s+"))
     hashes = F.transform(
         toks,
@@ -350,6 +391,71 @@ def simhash48(text_col: str | Column) -> Column:
         lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j.cast("double"))).otherwise(F.lit(0.0)),
     )
     return F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x).cast("long")
+
+
+@pandas_udf(T.LongType())
+def _simhash48_kernel(hs: pd.Series) -> pd.Series:
+    """Arrow kernel of simhash48 over pre-hashed int64 token arrays:
+    per-doc bit votes via a (F, 48) bit matrix and one prefix-sum
+    difference per segment (zero-length segments fall out of the
+    cumsum arithmetic). int64 throughout — values bit-identical to
+    the native aggregate (whose sum of distinct powers of two < 2^53
+    was already exact in double form)."""
+    import numpy as np
+
+    arrays = hs.tolist()
+    n = len(arrays)
+    if n == 0:
+        return pd.Series([], dtype="Int64")
+    valid = np.array([a is not None for a in arrays])
+    counts = np.fromiter(
+        (0 if a is None else len(a) for a in arrays), dtype=np.int64, count=n
+    )
+    if counts.sum():
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in arrays if a is not None and len(a)]
+        )
+    else:
+        flat = np.empty(0, dtype=np.int64)
+    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+    flatbits = ((flat[:, None] >> shifts) & 1).astype(np.int64)
+    csum = np.vstack(
+        [np.zeros((1, SIMHASH_BITS), dtype=np.int64), np.cumsum(flatbits, axis=0)]
+    )
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    sums = csum[offs[1:]] - csum[offs[:-1]]
+    votes = 2 * sums - counts[:, None]
+    fp = ((votes > 0).astype(np.int64) << shifts[None, :]).sum(axis=1)
+    return pd.Series(
+        [int(fp[i]) if valid[i] else None for i in range(n)],
+        dtype="Int64",
+        index=hs.index,
+    )
+
+
+def simhash48(text_col: str | Column) -> Column:
+    """48-bit SimHash of the token set: bit j of the fingerprint is the
+    sign of Σ_tokens (±1 by bit j of md5(token)).
+
+    Round 7 (opt guide §4.2): tokenization AND the per-token md5 stay
+    native (Java regex semantics; the md5 transform is cheap), while
+    the bit-vote accumulation — natively a per-token interpreted
+    zip_with over a 48-wide array, the dominant cost — crosses to the
+    Arrow kernel above as int64 hash ARRAYS (8 bytes/token on the
+    boundary, no strings). simhash48_native remains the zero-Python
+    fallback and parity target. Interleaved A/B at sf1.0 (opt round
+    7): 127 -> 52 us/doc single-task (the saturated-task / at-scale
+    proxy), 0.532 -> 0.512 s min-of-5 at 32-way; an all-Python
+    variant (token strings + hashlib + batch token dedup in the
+    kernel) measured 47 us/doc but pays string serialization — int64
+    arrays keep the boundary thin for nearly the same win."""
+    toks = F.array_distinct(F.split(normalize_text(text_col), r"\s+"))
+    hashes = F.transform(
+        toks,
+        lambda t: hex_to_long(F.substring(F.md5(F.concat(F.lit("sh:"), t)), 1, 12)),
+    )
+    return _simhash48_kernel(hashes)
 
 
 def simhash_blocks(simhash_col: Column, num_blocks: int = 4) -> list[Column]:

@@ -242,3 +242,73 @@ def test_connected_components_distributed_multi_round(spark):
     # (label reach grows a constant factor per round), and must
     # converge well inside the max_iters bound
     assert 3 <= dist_stats["rounds"] <= 12, dist_stats
+
+
+def test_simhash_kernel_matches_native(spark):
+    """Round-7 Arrow kernels must be value-identical to the retained
+    pure-Catalyst forms on a corpus hitting every edge: empty string
+    (split('') -> ['']), whitespace-only, null text, single token,
+    repeated tokens (array_distinct), < n tokens (no shingles ->
+    NULL minhash lanes), unicode, and ordinary prose."""
+    rows = [
+        ("d0", "the quick brown fox jumps over the lazy dog"),
+        ("d1", "the quick brown fox jumps over the lazy cat"),
+        ("d2", ""),
+        ("d3", "   "),
+        ("d4", None),
+        ("d5", "one"),
+        ("d6", "two words"),
+        ("d7", "a a a a a"),
+        ("d8", "Grüße λ-calculus naïve café 東京 3.14 % & #"),
+        ("d9", "x,y;z|v a_b c-d e.f"),
+        ("d10", "tok " * 200),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["k"]
+        for r in docs.select("doc_id", dedup.simhash48("text").alias("k")).collect()
+    }
+    want = {
+        r["doc_id"]: r["k"]
+        for r in docs.select(
+            "doc_id", dedup.simhash48_native("text").alias("k")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_minhash_two_stage_matches_inline(spark):
+    """The round-7 two-stage formulation (tokens projected into a
+    column before the shingle window) must be value-identical to the
+    original single-expression inline form on the same edge corpus."""
+    rows = [
+        ("d0", "the quick brown fox jumps over the lazy dog"),
+        ("d1", ""),
+        ("d2", None),
+        ("d3", "two words"),          # < 3 tokens -> no shingles -> NULLs
+        ("d4", "a b c"),              # exactly one shingle
+        ("d5", "a b c a b c a b c"),  # repeated shingles (distinct)
+        ("d6", "Grüße λ naïve café 東京 yes"),
+        ("d7", "w " * 100),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for k in (4, 8):
+        got = sorted(
+            dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=k).collect()
+        )
+        # original inline form: word_shingles(text) -> md5 -> XOR/min
+        hashes = F.transform(
+            dedup.word_shingles("text", 3), dedup.shingle_base_hash
+        )
+        staged = docs.select("doc_id", hashes.alias("__h"))
+        lanes = [
+            F.array_min(
+                F.transform(
+                    F.col("__h"),
+                    (lambda s: lambda h: h.bitwiseXOR(F.lit(s)))(dedup.lane_salt(i)),
+                )
+            ).alias(f"minhash_{i}")
+            for i in range(k)
+        ]
+        want = sorted(staged.select("doc_id", *lanes).collect())
+        assert got == want, k
