@@ -174,7 +174,12 @@ def lsh_bands(
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
-def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "id") -> DataFrame:
+def lsh_candidate_pairs(
+    bands_df: DataFrame,
+    id_col: str = "id",
+    max_bucket_size: int | None = 4096,
+    stats: dict | None = None,
+) -> DataFrame:
     """Distinct candidate pairs (a < b) among bucket-mates, via ONE
     groupBy per (band, band_key) bucket that collects the sorted
     member ids and explodes the in-bucket combinations natively.
@@ -185,11 +190,29 @@ def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "id") -> DataFrame:
     executed once PER SIDE, and the bands rows shuffled twice. The
     groupBy shape evaluates the signature lineage ONCE and shuffles
     the (band, key, id) rows once; cross-band repeats collapse in the
-    same final distinct as before. A pathological giant bucket costs
-    O(k²) pairs under either shape (LSH's whole contract is keeping
-    buckets small); here it lands in one task's explode rather than
-    an AQE-splittable join — the accepted cost of single-pass lineage
-    (a bucket-size cap upstream, not AQE, is the real defense)."""
+    same final distinct as before.
+
+    ``max_bucket_size`` (round 7 — the giant-bucket defense): a
+    pathological bucket costs O(k²) pairs under any shape, and in the
+    groupBy form it lands in ONE task's collect+explode; at corpus
+    scale boilerplate duplication routinely produces 10⁵–10⁶-member
+    buckets (10¹⁰+ pairs — an OOM or a forever-task). Buckets over
+    the cap are DETERMINISTICALLY sampled down to ``max_bucket_size``
+    members: members are ranked by md5(id) (engine-portable, unbiased
+    w.r.t. id order) and the lowest-ranked ``max_bucket_size`` kept,
+    so pair count per bucket is bounded by cap²/2. Near-dup detection
+    degrades gracefully: members of a truncated bucket usually share
+    several other buckets (num_bands chances), and a 4096-member
+    bucket is far past the point where LSH banding is selective
+    anyway. The default is far above any gated fixture (max observed
+    bucket: 3 / 6 / 20 at sf0.01/0.1/1.0), so declared-query results
+    are unchanged; pass None to disable.
+
+    ``stats`` (optional dict, same pattern as connected_components):
+    when provided, runs one extra aggregation job over the bucket
+    frame and records ``capped_buckets`` (buckets over the cap) and
+    ``dropped_members`` (members removed by sampling) — leave None in
+    latency-sensitive paths."""
     buckets = (
         bands_df.groupBy("band", "band_key")
         # array_distinct(sort_array(...)) stays sorted AND drops
@@ -199,6 +222,35 @@ def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "id") -> DataFrame:
         .agg(F.array_distinct(F.sort_array(F.collect_list(id_col))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        over = F.size("ids") > max_bucket_size
+        if stats is not None:
+            row = buckets.filter(over).agg(
+                F.count("*").alias("nb"),
+                F.coalesce(
+                    F.sum(F.size("ids") - max_bucket_size), F.lit(0)
+                ).alias("nd"),
+            ).first()
+            stats["capped_buckets"] = row["nb"]
+            stats["dropped_members"] = int(row["nd"])
+        # md5-rank sample, then restore id order (downstream combos
+        # rely on the sorted-ascending invariant for a < b)
+        ranked = F.sort_array(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.struct(
+                    F.md5(x.cast("string")).alias("r"), x.alias("v")
+                ),
+            )
+        )
+        sampled = F.sort_array(
+            F.transform(
+                F.slice(ranked, 1, max_bucket_size), lambda e: e["v"]
+            )
+        )
+        buckets = buckets.withColumn(
+            "ids", F.when(over, sampled).otherwise(F.col("ids"))
+        )
     n = F.size(F.col("ids"))
     combos = F.flatten(
         F.transform(

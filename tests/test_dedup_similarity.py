@@ -312,3 +312,38 @@ def test_minhash_two_stage_matches_inline(spark):
         ]
         want = sorted(staged.select("doc_id", *lanes).collect())
         assert got == want, k
+
+
+def test_lsh_bucket_cap_pathological(spark):
+    """Round-7 giant-bucket defense (max_bucket_size): 5,000 identical
+    docs collapse into single LSH buckets per band; uncapped that is
+    ~12.5M pairs in one task's explode. With the cap the pair count is
+    bounded, deterministic, and the drop is surfaced via stats."""
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated verbatim everywhere") for i in range(5000)],
+        ["doc_id", "text"],
+    )
+    sig = dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=8)
+    bands = dedup.lsh_bands(sig, "doc_id", num_hashes=8, band_size=2)
+    stats: dict = {}
+    pairs = dedup.lsh_candidate_pairs(
+        bands, "doc_id", max_bucket_size=40, stats=stats
+    )
+    rows = pairs.collect()
+    assert len(rows) == 40 * 39 // 2  # identical sample in all 4 bands
+    assert all(r["a"] < r["b"] for r in rows)
+    assert stats == {"capped_buckets": 4, "dropped_members": 4 * (5000 - 40)}
+    # deterministic across runs
+    again = dedup.lsh_candidate_pairs(bands, "doc_id", max_bucket_size=40)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    # under-cap buckets are untouched: default cap reproduces uncapped
+    small = spark.createDataFrame(
+        [(i, f"doc number {i} shares trigram prefix doc number") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    ssig = dedup.minhash_signatures(small, "text", "doc_id", num_hashes=8)
+    sbands = dedup.lsh_bands(ssig, "doc_id", num_hashes=8, band_size=2)
+    capped = sorted(map(tuple, dedup.lsh_candidate_pairs(sbands, "doc_id").collect()))
+    uncapped = sorted(map(tuple, dedup.lsh_candidate_pairs(
+        sbands, "doc_id", max_bucket_size=None).collect()))
+    assert capped == uncapped
