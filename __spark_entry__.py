@@ -2338,7 +2338,7 @@ def q_grid_search_cv(spark, sf_dir):
     """Grid search over deterministic hash folds: one scan scores every
     parameter combination, one aggregation yields per-(combo, fold)
     accuracy (train_xgb.py:460-470 GridSearchCV dataflow)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fanout(_t(spark, sf_dir, "embeddings"), "vec_id")
     res = search_ops.grid_search(
         emb, _search_scorer, _SEARCH_GRID, label_col="label",
         id_col="vec_id", num_folds=5,
@@ -2364,7 +2364,7 @@ def q_random_search_best(spark, sf_dir):
     """Random search (deterministic md5-ranked subsample of a 12-combo
     grid, RandomizedSearchCV analogue) + best-parameter ranking by
     mean CV accuracy (train_xgb.py:472-476)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fanout(_t(spark, sf_dir, "embeddings"), "vec_id")
     res = search_ops.grid_search(
         emb, _search_scorer, _SEARCH_GRID_BIG, label_col="label",
         id_col="vec_id", num_folds=5, n_iter=4, seed=11,

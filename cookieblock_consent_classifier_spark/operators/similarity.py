@@ -52,19 +52,28 @@ def brute_force_topk(
     vector, rank per query. Ties broken by neighbor id (deterministic).
     Self-matches excluded. Output: (query_id, neighbor_id, cos_sim,
     rank)."""
+    # norms are projected per ROW on each side BEFORE the cross join
+    # (opt r7): cosine() inline recomputed both interpreted norm
+    # aggregates per PAIR — with |q| queries that is |q| re-evaluations
+    # of every corpus norm. Same fold, same multiplication order
+    # (norm(q) * norm(c)), so the doubles are bit-identical.
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+    ).withColumn("__qn", norm(F.col("q_vec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+    ).withColumn("__cn", norm(F.col("c_vec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_to).alias("cos_sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("__qn") * F.col("__cn")),
+                round_to,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
