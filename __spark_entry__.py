@@ -1860,8 +1860,14 @@ def q_approx_stats(spark, sf_dir):
             F.sum(F.when(F.col("value") <= F.col("__aq")[i], 1).otherwise(0))
             .alias(f"__le{i}")
         )
+    # null-safe join key (r6 ADVICE): a NULL event_type group survives
+    # both GROUP BYs but would drop at a plain equi-join (null != null)
+    # while the DuckDB twin keeps its NULL row — latent on null-free
+    # fixtures, wrong in general. EqualNullSafe is still a supported
+    # broadcast-hash-join key, so the plan shape is unchanged.
+    a1 = a1.withColumnRenamed("event_type", "__et")
     a2 = (
-        ev.join(F.broadcast(a1), "event_type")
+        ev.join(F.broadcast(a1), F.col("event_type").eqNullSafe(F.col("__et")))
         .groupBy("event_type")
         .agg(
             F.first("n").alias("n"),

@@ -43,10 +43,20 @@ per byte so any 16-bit peek is one shift+mask, flat 2^16
 (len<<8|sym) decode tables cached by table content, one vectorized
 coefficient scatter) — still fully spec-driven (tables parsed from
 the DHT segments) and pinned identical to the retained per-symbol
-spec reader (_decode_entropy_loop) on the corpus + fuzz. A
-production 10^12-image run would still swap this module for a native
-codec; every interface it exposes (bytes in, uint8 array out) stays
-the same.
+spec reader (_decode_entropy_loop) on the corpus + fuzz. That
+byte-identical claim is scoped to WELL-FORMED (prefix-free, depth
+<= 16) huffman tables: on a corrupt non-prefix-free DHT the flat
+table resolves overlapping codes to the longest while the spec
+reader's ascending-length probe picks the shortest, and a hostile
+size symbol > 16 raises in the fast path where the loop decodes
+garbage — divergence only on invalid streams, never on anything this
+encoder (or a conforming one) writes. Memory note: _DECODE16_CACHE
+holds up to 64 flat 2^16 Python-int lists (~1.8 MB each boxed, so
+~115 MB/executor worst case under diverse fuzzed DHTs; one entry for
+the standard tables in practice) — bounded and intentional, the
+Python-int indexing is the fast path's win. A production 10^12-image
+run would still swap this module for a native codec; every interface
+it exposes (bytes in, uint8 array out) stays the same.
 """
 
 from __future__ import annotations
@@ -614,8 +624,9 @@ def _decode_entropy_fast(
     Decoded (block, zigzag-k, value) triples scatter into the
     coefficient matrix in one vectorized pass at the end.
     Byte-identical output to _decode_entropy_loop (the retained spec
-    reader) — pinned on the round-trip corpus + fuzz in
-    tests/test_jpeg.py."""
+    reader) for well-formed huffman tables — pinned on the round-trip
+    corpus + fuzz in tests/test_jpeg.py (see the module docstring for
+    the corrupt-DHT divergence scope)."""
     data = _unstuff_scan(scan)
     nbits = 8 * len(data)
     # 8 pad bytes: the truncation check runs AFTER each symbol, so a

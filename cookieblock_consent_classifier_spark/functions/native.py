@@ -119,9 +119,12 @@ URL_PAT = r"(https?://.*\.|www[2-9]?\..*\.)"                  # processor.py:172
 # ONE trailing '\n' — while Java's '$' also accepts \r, \r\n,
 # U+0085, U+2028, U+2029, and RE2's accepts end-of-text only. The explicit
 # \A...\n?\z form below encodes the CPython semantics exactly and
-# means the same thing in Java regex (Spark rlike), RE2 (the DuckDB
-# twin), and Python re — terminator-bearing inputs like "12f\r" no
-# longer flip the feature across engines (round-6 review finding).
+# means the same thing in Java regex (Spark rlike) and RE2 (the
+# DuckDB twin) — the two engines that consume it. (Python's re would
+# need \Z instead: \z is a bad escape there; the parity test pins
+# against the reference's own compiled ^...$ pattern.) Terminator-
+# bearing inputs like "12f\r" no longer flip the feature across
+# engines (round-6 review finding).
 HEX_PAT = r"\A[0-9a-fA-F]+\n?\z"                              # processor.py:1317-1326
 # strict ASCII-decimal guard (NO trailing-\n allowance: str.isnumeric
 # is false for "123\n", so the guard must not match it either); see
