@@ -25,9 +25,19 @@ def assemble_sparse(
     entity_col: str = "entity_id",
     label_col: str | None = "label",
     with_weights: bool = True,
+    counts_src: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (entity_id, indices array<int>, values array<double>,
-    label, weight)."""
+    label, weight).
+
+    ``counts_src``: optional frame with EXACTLY one row per output row
+    carrying ``label_col`` — used as the (cheaper) source for the
+    class-frequency counts instead of the assembled output itself.
+    compile_features passes its pre-join per-entity aggregate: the
+    broadcast rank joins are 1:1 (rank_df dedupes its keys), so the
+    label multiset is identical, while the counts branch of the plan
+    drops the rank joins and the name/domain aggregates (opt guide
+    §2.3 — shuffle/aggregate only the bytes the decision needs)."""
     pieces = []
     base = 0
     for b in blocks:
@@ -63,12 +73,30 @@ def assemble_sparse(
         # A global Window would funnel every row through one partition;
         # instead aggregate the tiny per-label counts and broadcast-join
         # them back (scales to any row count).
-        counts = out.groupBy("label").agg(F.count("*").alias("__n"))
-        totals = counts.agg(F.sum("__n").alias("__total"))
-        counts = counts.crossJoin(F.broadcast(totals)).select(
-            "label", (F.col("__total") / F.col("__n")).alias("weight")
+        src = (
+            counts_src.select(F.col(label_col).cast("int").alias("label"))
+            if counts_src is not None
+            else out.select("label")
         )
-        out = out.join(F.broadcast(counts), "label", "left").select(
+        counts = src.groupBy("label").agg(F.count("*").alias("__n"))
+        # The global total is derived INSIDE the same tiny aggregate:
+        # collect the <=#labels count rows into one row, sum natively,
+        # explode back. The former `counts.agg(F.sum(...))` re-executed
+        # the entire upstream lineage a second time — a THIRD full
+        # aggregation pass (scan → entity aggregate → exchange) in the
+        # physical plan just to add <=5 numbers (opt guide §2.4:
+        # remove shuffles outright; the plan drops 2 Exchanges).
+        packed = counts.agg(F.collect_list(F.struct("label", "__n")).alias("__cs"))
+        weights = packed.select(
+            F.explode("__cs").alias("__c"),
+            F.aggregate(
+                "__cs", F.lit(0).cast("bigint"), lambda a, x: a + x["__n"]
+            ).alias("__total"),
+        ).select(
+            F.col("__c.label").alias("label"),
+            (F.col("__total") / F.col("__c.__n")).alias("weight"),
+        )
+        out = out.join(F.broadcast(weights), "label", "left").select(
             entity_col, "indices", "values", "label", "weight"
         )
     return out

@@ -640,6 +640,11 @@ def compile_features(
         ent = ent.withColumn("e__gestalt_std", F.col("__gs.std"))
 
     # ---- stage 3: broadcast lookups on the per-entity side
+    # snapshot the pre-join frame: the class-weight counts branch runs
+    # over THIS (the rank joins are 1:1, so the label multiset is the
+    # same), letting Catalyst prune the joins and the name/domain
+    # aggregates out of that branch entirely
+    ent_pre_join = ent
     if "top_names" in enabled_pe:
         tn = rank_df(spark, res.top_names, "name").withColumnRenamed("rank", "__tn_rank")
         ent = ent.join(F.broadcast(tn), "name", "left")
@@ -723,6 +728,7 @@ def compile_features(
     from cookieblock_consent_classifier_spark.plans.assemble import assemble_sparse
 
     wide = assemble_sparse(
-        ent, blocks, entity_col=entity_col, label_col="label", with_weights=with_weights
+        ent, blocks, entity_col=entity_col, label_col="label",
+        with_weights=with_weights, counts_src=ent_pre_join,
     )
     return wide, names
