@@ -175,24 +175,30 @@ def q_time_diff_stats(spark, sf_dir):
     slot-pivot family since round 6 (fixed num_updates slot blocks,
     processor.py:425-428 — the former standalone `slot_pivot` oracle
     row; columns preserved in both engines, slot fold freed for
-    `approx_stats`). Both aggregates hash-partition on user_id, so
-    the join adds no third exchange."""
+    `approx_stats`).
+
+    Opt round 7: the pivot is FOLDED into the stats groupBy via
+    temporal.slot_pivot_aggs — the former stats-join-slot_pivot shape
+    computed both sides from their own scan + exchange + sort +
+    window (ReuseExchange can't merge them: different window exprs),
+    i.e. the whole lineage twice plus a join. One window now carries
+    lag AND row_number; the agg input rows, their per-partition order
+    and the float summation order are unchanged, so gap_mean/stddev
+    are bit-identical (oracle-verified). Plan: 2 scans + 2 exchanges
+    + 2 windows + BroadcastHashJoin -> 1 scan + 1 exchange + 1
+    window."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = (_us("ts") - F.lag(_us("ts")).over(w)) / F.lit(1e6)
-    stats = (
-        ev.withColumn("gap_s", gap)
-        .groupBy("user_id")
-        .agg(
-            F.round(F.coalesce(F.avg("gap_s"), F.lit(-1.0)), 4).alias("gap_mean"),
-            F.round(F.coalesce(F.stddev_samp("gap_s"), F.lit(-1.0)), 4).alias("gap_stddev"),
-            F.count("gap_s").alias("n_diffs"),
-        )
+    proj = ev.withColumn("gap_s", gap).withColumn(
+        "__slot", F.row_number().over(w) - F.lit(1)
     )
-    slots = temporal.slot_pivot(
-        ev, "user_id", ["ts", "event_id"], ["event_type", "value"], 3
+    return proj.groupBy("user_id").agg(
+        F.round(F.coalesce(F.avg("gap_s"), F.lit(-1.0)), 4).alias("gap_mean"),
+        F.round(F.coalesce(F.stddev_samp("gap_s"), F.lit(-1.0)), 4).alias("gap_stddev"),
+        F.count("gap_s").alias("n_diffs"),
+        *temporal.slot_pivot_aggs(["event_type", "value"], 3),
     )
-    return stats.join(slots, "user_id")
 
 
 @_q(

@@ -112,6 +112,15 @@ def audio_features_udf(payload: pd.Series) -> pd.DataFrame:
                         index=payload.index)
 
 
+# Non-deterministic marking (opt guide §4.4): a filter on a feature
+# field (e.g. rms > 0.1) otherwise gets predicate-pushed BELOW the
+# projection, and Catalyst duplicates the whole decode+featurize chain
+# — two ArrowEvalPython nodes, every row decoded twice (observed in
+# the audio_pipeline plan). The function IS deterministic; the
+# marking only forbids the optimizer from duplicating/reordering it.
+audio_features_udf = audio_features_udf.asNondeterministic()
+
+
 def extract_audio_features(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     """Append the audio feature struct fields to the frame (the
     multimodal decode→featurize pass; same shape as

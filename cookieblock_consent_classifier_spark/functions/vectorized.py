@@ -22,6 +22,7 @@ import json
 import math
 import zlib
 from collections import Counter
+from functools import lru_cache
 from urllib.parse import unquote
 
 import pandas as pd
@@ -56,11 +57,29 @@ def _py_compressed_len(s: str | None) -> int | None:
     return len(zlib.compress(unquote(s).encode("utf-8", errors="replace"), 9))
 
 
+@lru_cache(maxsize=8192)
+def _gestalt_cached(a: str, b: str) -> float:
+    return difflib.SequenceMatcher(None, a, b).ratio()
+
+
+# short-string memo bound: 8192 entries x <=256 chars ~ 2 MB/worker
+_GESTALT_MEMO_MAX_LEN = 256
+
+
 def _py_gestalt(a: str | None, b: str | None) -> float | None:
     """difflib SequenceMatcher ratio (feature_gestalt_pattern_ratio,
-    processor.py:1485-1494)."""
+    processor.py:1485-1494).
+
+    Short pairs go through a bounded lru_cache: ratio() is a pure
+    function and real update streams repeat values heavily (the bench
+    events table: 0.5% distinct props — each distinct pair recomputed
+    ~200x at 23 us/pair), while a memo hit costs ~0.1 us. Long pairs
+    bypass the cache so it can never hold more than ~2 MB per worker
+    (opt guide §4.5: amortize per-task state, bound its memory)."""
     if a is None or b is None:
         return None
+    if len(a) + len(b) <= _GESTALT_MEMO_MAX_LEN:
+        return _gestalt_cached(a, b)
     return difflib.SequenceMatcher(None, a, b).ratio()
 
 
@@ -183,8 +202,12 @@ def gestalt_stats_udf(num_diffs: int):
             if seq is None or len(seq) < 2:
                 rows.append((-1.0, -1.0, []))
                 continue
+            # same memo as _py_gestalt (ratio() is pure; update streams
+            # repeat values); long pairs bypass the cache unchanged
             ratios = [
-                difflib.SequenceMatcher(None, a, b).ratio()
+                _gestalt_cached(a, b)
+                if len(a) + len(b) <= _GESTALT_MEMO_MAX_LEN
+                else difflib.SequenceMatcher(None, a, b).ratio()
                 for a, b in zip(seq, seq[1:])
             ]
             m = statistics.mean(ratios)

@@ -132,13 +132,27 @@ def slot_pivot(
     ranked = df.withColumn("__slot", F.row_number().over(w) - F.lit(1)).filter(
         F.col("__slot") < num_slots
     )
-    aggs = []
-    for i in range(num_slots):
-        for c in value_cols:
-            aggs.append(
-                F.max(F.when(F.col("__slot") == i, F.col(c))).alias(f"slot{i}_{c}")
-            )
-    return ranked.groupBy(entity_col).agg(*aggs)
+    return ranked.groupBy(entity_col).agg(
+        *slot_pivot_aggs(value_cols, num_slots)
+    )
+
+
+def slot_pivot_aggs(
+    value_cols: Sequence[str], num_slots: int, slot_col: str = "__slot"
+) -> list[Column]:
+    """The conditional-first aggregate columns of ``slot_pivot`` —
+    exposed so a caller that already groupBys on the entity over the
+    same ordered window can FOLD the pivot into its aggregation
+    (opt guide §2.4): a standalone slot_pivot next to another
+    aggregate of the same frame costs a second scan + exchange +
+    window + an agg-agg join; the folded form computes identical
+    values from the one pass (the ``when(slot == i)`` conditions
+    subsume the rank filter)."""
+    return [
+        F.max(F.when(F.col(slot_col) == i, F.col(c))).alias(f"slot{i}_{c}")
+        for i in range(num_slots)
+        for c in value_cols
+    ]
 
 
 def flag_changed(col: str | Column, entity_col: str, order_cols: Sequence[str]) -> Column:
