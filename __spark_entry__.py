@@ -2337,10 +2337,26 @@ def _search_sql(combos: list[dict]) -> str:
     """
 
 
+def _dot_w_expr(c: int) -> F.Column:
+    """similarity.dot(embedding, lit(_SEARCH_W[c])) as ONE SQL-text
+    parse. The Column-API form marshalled each of the 64 weight
+    literals (x 4 classes x combos) through its own py4j round trip —
+    profiled at 1.0s of the 1.45s grid_search_cv construct (5,871
+    round trips). One F.expr per class yields the IDENTICAL Catalyst
+    aggregate/zip_with/cast tree (weights are ints — exact SQL
+    literals), so execution and values are unchanged; construct
+    drops to a handful of parses (same trick as _sql_in_set)."""
+    arr = ",".join(f"{int(x)}D" for x in _SEARCH_W[c])
+    return F.expr(
+        f"aggregate(zip_with(embedding, array({arr}), "
+        "(x, y) -> cast(x as double) * cast(y as double)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+
+
 def _search_scorer(params: dict) -> list:
     return [
-        similarity.dot(F.col("embedding"), F.lit([float(x) for x in _SEARCH_W[c]]))
-        / F.lit(params["temp"]) + F.lit(params["shift"] * c)
+        _dot_w_expr(c) / F.lit(params["temp"]) + F.lit(params["shift"] * c)
         for c in range(4)
     ]
 
