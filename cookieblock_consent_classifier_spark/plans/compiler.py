@@ -538,39 +538,78 @@ def compile_features(
         )
     proj = proj.select("*", *window_cols)
 
-    # ---- stage 2: single groupBy(entity): slot pivots + aggregates
+    # ---- stage 2: single groupBy(entity): slot pivots + aggregates.
+    # Slot pivots are STRUCT-PACKED (opt round 7): one
+    # max(when(__slot == u, struct(<all pivot sources>))) per slot
+    # instead of one max(when(...)) per (column, slot). __slot is
+    # unique per entity (row_number), so each when() matches at most
+    # one row and the struct max IS that row's struct — per-field
+    # values identical to the per-column form (absent slot → NULL
+    # struct → NULL fields; present slot with NULL col → NULL field
+    # either way). The win: this aggregate is a SortAggregate (string
+    # attrs + array buffers rule out hash aggregation) with no
+    # whole-stage codegen, and its per-row cost scales with the
+    # NUMBER OF AGG BUFFERS — ~60 pivot buffers (full width: ~150)
+    # collapse to num_updates+num_diffs. Synthetic A/B (60 numeric
+    # pivots, 100k rows, 32 cores): 1.63 s → 0.56 s, values
+    # pandas-identical; the real pipeline is pinned by the DuckDB
+    # oracle + golden tests. Field unpack after the agg is a
+    # codegen'd row-wise projection.
     aggs: list[Column] = []
-
-    def slot_val(col: str, u: int) -> Column:
-        return F.max(F.when(F.col("__slot") == u, F.col(col)))
+    post_agg_pivots: list[tuple[str, str, str]] = []  # (struct_col, field, out)
 
     # per-update pivots (feature-major order like the output vector)
     pivot_names: dict[tuple[str, int], list[str] | str] = {}
+    pu_fields: list[str] = []
+    for spec in schema.per_update:
+        if not spec.enabled:
+            continue
+        if spec.name in RANK_FEATURES:
+            pu_fields.append(upd_cols[spec.name])
+        else:
+            pu_fields.extend(upd_cols[spec.name])
+    if pu_fields:
+        pu_struct = F.struct(*[F.col(c).alias(c) for c in pu_fields])
+        for u in range(schema.num_updates):
+            aggs.append(
+                F.max(F.when(F.col("__slot") == u, pu_struct)).alias(f"__pus_{u}")
+            )
     for spec in schema.per_update:
         if not spec.enabled:
             continue
         for u in range(schema.num_updates):
             if spec.name in RANK_FEATURES:
                 out = f"pu__{spec.name}__{u}"
-                aggs.append(slot_val(upd_cols[spec.name], u).alias(out))
+                post_agg_pivots.append((f"__pus_{u}", upd_cols[spec.name], out))
                 pivot_names[(spec.name, u)] = out
             else:
                 outs = []
                 for i, cname in enumerate(upd_cols[spec.name]):
                     out = f"pu__{spec.name}__{u}__{i}"
-                    aggs.append(slot_val(cname, u).alias(out))
+                    post_agg_pivots.append((f"__pus_{u}", cname, out))
                     outs.append(out)
                 pivot_names[(spec.name, u)] = outs
 
     # per-diff pivots: diff d lives on the row with __slot == d+1;
     # gestalt comes from the post-agg kernel instead
     diff_names: dict[tuple[str, int], str] = {}
+    pd_fields = [
+        f"d__{spec.name}"
+        for spec in schema.per_diff
+        if spec.enabled and spec.name != "gestalt_similarity"
+    ]
+    if pd_fields:
+        pd_struct = F.struct(*[F.col(c).alias(c) for c in pd_fields])
+        for d in range(schema.num_diffs):
+            aggs.append(
+                F.max(F.when(F.col("__slot") == d + 1, pd_struct)).alias(f"__pds_{d}")
+            )
     for spec in schema.per_diff:
         if not spec.enabled or spec.name == "gestalt_similarity":
             continue
         for d in range(schema.num_diffs):
             out = f"pd__{spec.name}__{d}"
-            aggs.append(slot_val(f"d__{spec.name}", d + 1).alias(out))
+            post_agg_pivots.append((f"__pds_{d}", f"d__{spec.name}", out))
             diff_names[(spec.name, d)] = out
 
     # entity attrs (constant per entity)
@@ -629,6 +668,14 @@ def compile_features(
         )
 
     ent = proj.groupBy(entity_col).agg(*aggs)
+    if post_agg_pivots:
+        # unpack the packed slot structs back into the named pivot
+        # columns (row-wise, codegen'd; NULL struct → NULL fields)
+        struct_cols = {sc for sc, _f, _o in post_agg_pivots}
+        ent = ent.select(
+            *[c for c in ent.columns if c not in struct_cols],
+            *[F.col(sc)[f].alias(out) for sc, f, out in post_agg_pivots],
+        )
 
     if need_gestalt:
         # post-agg gestalt kernel: one Arrow batch per entity row
