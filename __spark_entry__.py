@@ -626,16 +626,23 @@ def q_content_length_stats(spark, sf_dir):
 )
 def q_label_weights(spark, sf_dir):
     """inverse-class-frequency weights n_total/n_class
-    (retrieve_label_weights, processor.py:263-273). The total comes
-    from a tiny agg + broadcast crossJoin (same shape as
-    plans/assemble.py:61-73) — no eager count() at plan-build time,
-    no second scan of the fact table."""
+    (retrieve_label_weights, processor.py:263-273). The total is
+    derived INSIDE the tiny counts aggregate (collect the ≤#labels
+    rows into one cell, native sum, explode back — same opt-r7 fold
+    as plans/assemble.py): the former counts.agg(sum) + crossJoin
+    re-ran the fact-table scan+aggregate a second time just to add a
+    handful of longs."""
     emb = _t(spark, sf_dir, "embeddings")
     counts = emb.groupBy("label").agg(F.count("*").alias("n"))
-    totals = counts.agg(F.sum("n").alias("__total"))
-    return counts.crossJoin(F.broadcast(totals)).select(
-        "label", "n",
-        F.round(F.col("__total").cast("double") / F.col("n"), 6).alias("weight"),
+    packed = counts.agg(F.collect_list(F.struct("label", "n")).alias("__cs"))
+    return packed.select(
+        F.explode("__cs").alias("__c"),
+        F.aggregate("__cs", F.lit(0).cast("bigint"), lambda a, x: a + x["n"])
+        .alias("__total"),
+    ).select(
+        F.col("__c.label").alias("label"),
+        F.col("__c.n").alias("n"),
+        F.round(F.col("__total").cast("double") / F.col("__c.n"), 6).alias("weight"),
     )
 
 

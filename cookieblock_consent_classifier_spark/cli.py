@@ -159,10 +159,22 @@ def main(argv: list[str] | None = None) -> None:
             # split only (the extract-stage weights were computed over
             # the full corpus and would fold holdout label counts into
             # the objective)
+            # total folded into the counts aggregate (opt r7, same as
+            # plans/assemble.py): counts.agg(sum) re-ran the ENTIRE
+            # feature-pipeline lineage a second time just to total
+            # the per-label longs
             counts = train_df.groupBy("label").agg(F.count("*").alias("__n"))
-            totals = counts.agg(F.sum("__n").alias("__t"))
-            w = counts.crossJoin(F.broadcast(totals)).select(
-                "label", (F.col("__t") / F.col("__n")).alias("__w")
+            packed = counts.agg(
+                F.collect_list(F.struct("label", "__n")).alias("__cs")
+            )
+            w = packed.select(
+                F.explode("__cs").alias("__c"),
+                F.aggregate(
+                    "__cs", F.lit(0).cast("bigint"), lambda a, x: a + x["__n"]
+                ).alias("__t"),
+            ).select(
+                F.col("__c.label").alias("label"),
+                (F.col("__t") / F.col("__c.__n")).alias("__w"),
             )
             train_df = (
                 train_df.drop("weight")
